@@ -1,0 +1,13 @@
+from .attention import attention, attention_xla
+from .norms import layer_norm, rms_norm, t5_layer_norm
+from .rope import apply_rope, rope_3d_tables
+
+__all__ = [
+    "attention",
+    "attention_xla",
+    "rms_norm",
+    "layer_norm",
+    "t5_layer_norm",
+    "apply_rope",
+    "rope_3d_tables",
+]

@@ -1,0 +1,208 @@
+"""Pallas TPU flash attention (online-softmax, KV-streamed).
+
+Replaces the reference's vendored flash-attn CUDA kernels
+(`omnivideo/modules/attention.py:10-14,115-130`) with a TPU-native kernel:
+
+- grid (batch·heads, q_blocks, kv_blocks), kv innermost; running max / sum /
+  f32 output accumulator live in VMEM scratch across kv grid steps (the
+  canonical Mosaic flash-attention pattern);
+- variable KV lengths are handled by masking (−inf logits past `kv_lens[b]`)
+  instead of varlen cu_seqlens packing — fixed shapes, no recompiles; fully
+  out-of-range KV blocks are skipped with `pl.when`;
+- logits/accumulation in f32 on the MXU (`preferred_element_type`), inputs
+  bf16; output cast back to the query dtype.
+
+Backward: differentiable via `jax.custom_vjp` with an XLA-attention VJP
+(recompute); a Pallas backward kernel is the planned upgrade for long-seq
+training.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e30
+
+
+def _fa_kernel(
+    kv_len_ref,  # scalar-prefetch SMEM [B*N] int32 — valid kv length per row
+    q_ref,  # VMEM [1, BQ, D]
+    k_ref,  # VMEM [1, BK, D]
+    v_ref,  # VMEM [1, BK, D]
+    o_ref,  # VMEM [1, BQ, D]
+    m_scr,  # VMEM [BQ, 128] f32 running max
+    l_scr,  # VMEM [BQ, 128] f32 running denom
+    acc_scr,  # VMEM [BQ, D] f32 accumulator
+    *,
+    scale: float,
+    block_k: int,
+    kv_steps: int,
+):
+    kv_i = pl.program_id(2)
+    kv_len = kv_len_ref[pl.program_id(0)]
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    block_start = kv_i * block_k
+
+    @pl.when(block_start < kv_len)
+    def _compute():
+        q = q_ref[0]  # [BQ, D]
+        k = k_ref[0]  # [BK, D]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BQ, BK]
+
+        # mask kv positions past the valid length
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + block_start
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]  # [BQ, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+        p = jnp.exp(s - m_new)  # [BQ, BK]
+
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kv_i == kv_steps - 1)
+    def _emit():
+        denom = l_scr[:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)  # fully-masked rows → 0
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _flash_fwd_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_lens: Optional[jnp.ndarray],
+    softmax_scale: Optional[float],
+    block_q: int,
+    block_k: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    scale = softmax_scale if softmax_scale is not None else D**-0.5
+
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), Lk, dtype=jnp.int32)
+    kv_lens = kv_lens.astype(jnp.int32)
+
+    bq = min(block_q, _round_up(Lq, 128))
+    bk = min(block_k, _round_up(Lk, 128))
+    Lq_p = _round_up(Lq, bq)
+    Lk_p = _round_up(Lk, bk)
+
+    # [B, L, N, D] -> [B*N, L, D]
+    qt = jnp.pad(q, ((0, 0), (0, Lq_p - Lq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    kt = jnp.pad(k, ((0, 0), (0, Lk_p - Lk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    vt = jnp.pad(v, ((0, 0), (0, Lk_p - Lk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    qt = qt.reshape(B * N, Lq_p, D)
+    kt = kt.reshape(B * N, Lk_p, D)
+    vt = vt.reshape(B * N, Lk_p, D)
+    kv_lens_bn = jnp.repeat(kv_lens, N)  # [B*N]
+
+    kv_steps = Lk_p // bk
+    grid = (B * N, Lq_p // bq, kv_steps)
+
+    kernel = functools.partial(
+        _fa_kernel, scale=float(scale), block_k=bk, kv_steps=kv_steps
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, bq, D), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, bk, D), lambda b, qi, ki, *_: (b, ki, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, bk, D), lambda b, qi, ki, *_: (b, ki, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bq, D), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * N, Lq_p, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * Lq_p * Lk_p * D,
+            bytes_accessed=(B * N * (Lq_p + 2 * Lk_p + Lq_p) * D * 2),
+            transcendentals=B * N * Lq_p * Lk_p,
+        ),
+        interpret=interpret,
+    )(kv_lens_bn, qt, kt, vt)
+
+    out = out.reshape(B, N, Lq_p, D).transpose(0, 2, 1, 3)
+    return out[:, :Lq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_lens: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention. q: [B, Lq, N, D]; k/v: [B, Lk, N, D]; kv_lens: [B]."""
+    return _flash_fwd_impl(q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret)
+
+
+def _fa_fwd(q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret):
+    out = _flash_fwd_impl(q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret)
+    return out, (q, k, v, kv_lens)
+
+
+def _fa_bwd(softmax_scale, block_q, block_k, interpret, res, g):
+    from ..attention import attention_xla
+
+    q, k, v, kv_lens = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_xla(q_, k_, v_, kv_lens, softmax_scale), q, k, v
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

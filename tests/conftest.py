@@ -2,12 +2,13 @@
 
 Multi-chip sharding tests (fsdp / Ulysses seq-parallel / dp) run on a virtual
 8-device CPU mesh, which the reference (NCCL-only) cannot do — see SURVEY.md §4.
-Must run before jax is imported anywhere.
+
+Note: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var, so
+we force the platform via jax.config before any jax usage.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,3 +17,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Keep XLA from oversubscribing the (often single-core) test machine.
 os.environ.setdefault("XLA_CPU_MULTI_THREAD_EIGEN", "false")
 os.environ.setdefault("INTRA_OP_PARALLELISM_THREADS", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

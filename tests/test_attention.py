@@ -1,0 +1,69 @@
+"""Attention tests: XLA oracle invariants + Pallas kernel (interpret mode).
+
+The Pallas kernel is additionally validated against the XLA oracle on real
+TPU hardware by tools/dev/tpu_kernel_check.py (bf16 max-err ≤ 8e-3 at
+D=128, L≈1k); interpret-mode here covers the same code path on CPU with
+tiny shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnivideo_tpu.ops import attention_xla
+from omnivideo_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def _rand(shape, seed, dtype=jnp.float32):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), dtype)
+
+
+def test_xla_attention_matches_manual_softmax():
+    B, L, N, D = 1, 7, 2, 8
+    q, k, v = _rand((B, L, N, D), 0), _rand((B, L, N, D), 1), _rand((B, L, N, D), 2)
+    out = attention_xla(q, k, v)
+    qf = np.asarray(q, np.float64)
+    kf = np.asarray(k, np.float64)
+    vf = np.asarray(v, np.float64)
+    logits = np.einsum("bind,bjnd->bnij", qf, kf) / np.sqrt(D)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    ref = np.einsum("bnij,bjnd->bind", w, vf)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_xla_attention_kv_mask():
+    B, Lq, Lk, N, D = 2, 5, 9, 2, 8
+    q, k, v = _rand((B, Lq, N, D), 0), _rand((B, Lk, N, D), 1), _rand((B, Lk, N, D), 2)
+    lens = jnp.array([9, 4], jnp.int32)
+    out = attention_xla(q, k, v, kv_lens=lens)
+    # batch row 1 must equal attention over truncated kv
+    out_trunc = attention_xla(q[1:], k[1:, :4], v[1:, :4])
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out_trunc[0]), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pallas_flash_matches_xla_interpret():
+    B, Lq, Lk, N, D = 1, 256, 256, 1, 64
+    q, k, v = _rand((B, Lq, N, D), 0), _rand((B, Lk, N, D), 1), _rand((B, Lk, N, D), 2)
+    lens = jnp.array([200], jnp.int32)
+    ref = attention_xla(q, k, v, kv_lens=lens)
+    out = flash_attention(q, k, v, lens, None, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_grad_path():
+    """custom_vjp backward (XLA recompute) is differentiable."""
+    B, L, N, D = 1, 8, 1, 8
+
+    def loss(q, k, v):
+        # interpret=True so it runs on CPU
+        out = flash_attention(q, k, v, None, None, 128, 128, True)
+        return jnp.sum(out**2)
+
+    q, k, v = _rand((B, L, N, D), 0), _rand((B, L, N, D), 1), _rand((B, L, N, D), 2)
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gi in g:
+        assert bool(jnp.isfinite(gi).all())
+        assert float(jnp.abs(gi).sum()) > 0
