@@ -1,0 +1,146 @@
+"""Unified mixed-condition model: VLM features + text + visual context → DiT.
+
+Equivalent to reference `omnivideo/modules/unified_model.py:13-307`
+(UnifiedWanWithMixedConditionModel): RMS-norm + Linear projection of Qwen3-VL
+hidden states, optional VisualContextAdapter over source-VAE latents, "tight
+concatenation" `[VLM][<prp_st> text <prp_ed>][<img_st> visual <img_ed>]` with
+learned special tokens, truncated to max_context_len — then the Wan DiT.
+
+TPU-native differences:
+- mixed-context assembly happens once per generate() call (it is
+  timestep-independent) and is *padded to max_context_len with zeros* — which
+  is exactly what the reference WanModel does anyway before the text-embedding
+  MLP (model.py:479-485, cross-attn over embedded padding with
+  context_lens=None) — so the fixed shape is semantically free;
+- conditional and unconditional branches are stacked as batch-2 so CFG costs
+  one forward pass per step instead of the reference's two
+  (x2x_gen_unified.py:480-481);
+- CFG training dropout uses explicit jax.random keys instead of pre-sampled
+  python RNG for cross-rank synchrony (unified_model.py:157-192) — same-seed
+  keys are deterministic across hosts by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.base import PipelineConfig
+from ..ops.norms import rms_norm
+from .visual_context_adapter import vca_apply
+from .wan_dit import _dense
+
+
+def init_unified_companions(key: jax.Array, cfg: PipelineConfig):
+    """vlm_norm + vlm_proj (+ VCA) params (unified_model.py:79-93)."""
+    from .visual_context_adapter import init_vca
+
+    k1, k2 = jax.random.split(key)
+    params = {
+        "vlm_norm": jnp.ones((cfg.vlm_in_dim,), jnp.float32),
+        "vlm_proj": {
+            "kernel": jax.random.normal(k1, (cfg.vlm_in_dim, cfg.dit.text_dim), jnp.float32)
+            * cfg.vlm_in_dim**-0.5,
+            "bias": jnp.zeros((cfg.dit.text_dim,), jnp.float32),
+        },
+    }
+    if cfg.use_visual_context_adapter:
+        params["visual_context_adapter"] = init_vca(
+            k2,
+            patch_size=cfg.visual_context_adapter_patch_size,
+            in_channels=cfg.dit.in_dim,
+            hidden_dim=cfg.dit.dim,
+            out_dim=cfg.dit.text_dim,
+        )
+    return params
+
+
+def project_vlm_features(companions, ar_vision: jnp.ndarray, eps: float = 1e-6):
+    """vlm_norm → vlm_proj (unified_model.py:195-206). ar_vision: [L, vlm_dim]."""
+    h = rms_norm(ar_vision, companions["vlm_norm"], eps)
+    return _dense(companions["vlm_proj"], h)
+
+
+def null_ar_vision(vlm_dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Null VLM embedding for CFG: zeros(2, vlm_dim)+1e-6
+    (unified_model.py:176-179, x2x_gen_unified.py:440-444)."""
+    return jnp.zeros((2, vlm_dim), dtype) + 1e-6
+
+
+def build_mixed_context(
+    companions,
+    cfg: PipelineConfig,
+    context: Optional[jnp.ndarray] = None,
+    ar_vision: Optional[jnp.ndarray] = None,
+    visual_emb: Optional[jnp.ndarray] = None,
+    special_tokens: Optional[Dict[str, jnp.ndarray]] = None,
+    condition_mode: str = "full",
+) -> jnp.ndarray:
+    """Assemble one sample's mixed context, zero-padded to max_context_len.
+
+    Inputs are per-sample 2D [L, D] arrays (context in text_dim space, already
+    T5/VLM-encoded). Returns [max_context_len, text_dim]. Order and special-
+    token sandwiching match unified_model.py:219-276.
+    """
+    assert condition_mode in ("auto", "full", "text_only")
+    td = cfg.dit.text_dim
+    parts: List[jnp.ndarray] = []
+
+    def as2d(a):
+        a = jnp.asarray(a)
+        return a[None] if a.ndim == 1 else (a[0] if a.ndim == 3 else a)
+
+    vlm_item = None
+    if ar_vision is not None and condition_mode != "text_only":
+        vlm_item = project_vlm_features(companions, as2d(ar_vision), cfg.dit.eps)
+
+    visual_item = None
+    if (
+        visual_emb is not None
+        and condition_mode != "text_only"
+        and "visual_context_adapter" in companions
+    ):
+        visual_item = vca_apply(
+            companions["visual_context_adapter"],
+            visual_emb,
+            cfg.visual_context_adapter_patch_size,
+            cfg.dit.eps,
+        )[0]
+
+    if special_tokens is not None:
+        st = {k: as2d(v) for k, v in special_tokens.items()}
+        if vlm_item is not None:
+            parts.append(vlm_item)
+        if context is not None:
+            parts.extend([st["<prp_st>"], as2d(context), st["<prp_ed>"]])
+        if visual_item is not None:
+            parts.extend([st["<img_st>"], visual_item, st["<img_ed>"]])
+    else:
+        parts = [p for p in (vlm_item, as2d(context) if context is not None else None, visual_item) if p is not None]
+
+    if not parts:
+        parts = [jnp.zeros((1, td), jnp.float32)]
+
+    mixed = jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=0)
+    L = cfg.max_context_len
+    if mixed.shape[0] > L:
+        mixed = mixed[:L]
+    elif mixed.shape[0] < L:
+        mixed = jnp.pad(mixed, ((0, L - mixed.shape[0]), (0, 0)))
+    return mixed
+
+
+def load_special_tokens_pkl(path: str, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Load special_tokens.pkl (x2x_gen_unified.py:214-226). Uses torch (CPU)
+    to read the pickle; returns jnp arrays."""
+    import torch
+
+    with open(path, "rb") as f:
+        obj = torch.load(f, map_location="cpu", weights_only=False)
+    assert isinstance(obj, dict)
+    return {
+        k: jnp.asarray(np.asarray(v.float()), dtype=dtype) for k, v in obj.items()
+    }

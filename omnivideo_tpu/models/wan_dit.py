@@ -295,6 +295,7 @@ def wan_dit_apply(
     context_embedded: bool = False,
     attn_impl: str = "auto",
     remat: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """Full DiT forward (reference model.py:417-524).
 
@@ -320,6 +321,10 @@ def wan_dit_apply(
     h = _dense(params["patch_embedding"], tokens)
     if L > L_nat:
         h = jnp.pad(h, ((0, 0), (0, L - L_nat), (0, 0)))
+    if mesh is not None:
+        from ..parallel.sharding import seq_constraint
+
+        h = seq_constraint(h, mesh)
     kv_lens = jnp.full((B,), L_nat, jnp.int32) if L > L_nat else None
 
     e, e0 = time_embeddings(params, cfg, t)

@@ -57,10 +57,8 @@ def rope_3d_tables(
         axis=-1,
     ).reshape(f * h * w, c)
 
-    return (
-        jnp.asarray(np.cos(ang), dtype=jnp.float32),
-        jnp.asarray(np.sin(ang), dtype=jnp.float32),
-    )
+    # numpy (not jnp) so the lru_cache is safe to hit from inside jit traces
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
@@ -72,17 +70,19 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     unchanged). Math in f32, result cast back to x.dtype.
     """
     B, L, N, D = x.shape
+    cos = np.asarray(cos) if not isinstance(cos, jnp.ndarray) else cos
+    sin = np.asarray(sin) if not isinstance(sin, jnp.ndarray) else sin
     Lr = cos.shape[0]
     xf = x.astype(jnp.float32)
     xr = xf[..., 0::2]
     xi = xf[..., 1::2]
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    c = jnp.asarray(cos)[None, :, None, :]
+    s = jnp.asarray(sin)[None, :, None, :]
     if Lr < L:
         pad = ((0, 0), (0, L - Lr), (0, 0), (0, 0))
         c = jnp.pad(c, pad, constant_values=1.0)
         s = jnp.pad(s, pad, constant_values=0.0)
-    yr = xr[:, :, :, :] * c - xi * s
+    yr = xr * c - xi * s
     yi = xr * s + xi * c
     y = jnp.stack([yr, yi], axis=-1).reshape(B, L, N, D)
     return y.astype(x.dtype)

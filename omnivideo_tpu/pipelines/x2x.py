@@ -1,0 +1,286 @@
+"""Unified x2x generation pipeline (T2V / V2V-edit / mixed-condition).
+
+Role of reference `omnivideo/x2x_gen_unified.py:24-541` (OmniVideoX2XUnified)
+and `x2x_gen_unified_1_3B.py:17` (single-expert subclass), re-designed
+TPU-first:
+
+- the denoising loop is ONE jit-compiled `lax.scan` per expert phase: the
+  dual-expert boundary (t ≥ 0.875·T selects the high-noise expert,
+  x2x_gen_unified.py:228-258) is resolved on the host into a static step-index
+  split — scan #1 runs the high-noise expert, scan #2 the low-noise expert;
+  no per-step Python, no CPU⇄device model swaps (both experts stay resident,
+  sharded under fsdp when a mesh is given);
+- CFG is fused as batch-2 (cond, uncond stacked) — one DiT forward per step
+  instead of the reference's two sequential forwards
+  (x2x_gen_unified.py:480-481);
+- the mixed conditioning context is timestep-independent, so it is assembled
+  AND text-embedded once per phase, outside the scan;
+- the UniPC / DPM++ update is the precomputed-coefficient linear recurrence
+  from schedulers/ — the whole hot loop is steps × (1 DiT forward + a few
+  fused multiply-adds);
+- per-sample RNG is `jax.random.fold_in`-style deterministic — no NCCL
+  broadcast of seeds or contexts (reference x2x_gen_unified.py:374-380) is
+  needed: every host computes identical values by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import prompts
+from ..configs.base import PipelineConfig
+from ..models.unified import build_mixed_context, null_ar_vision
+from ..models.vae2_1 import Wan21VAE, init_vae, vae_decode, vae_encode
+from ..models.wan_dit import cast_wan_params, embed_context, init_wan_dit, wan_dit_apply
+from ..schedulers import FlowDPMSolver, FlowUniPC, get_sampling_sigmas
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ExpertParams:
+    wan: Any  # DiT param pytree
+    companions: Any  # vlm_norm / vlm_proj / visual_context_adapter
+
+
+class OmniVideoX2XUnified:
+    """Unified x2x pipeline.
+
+    Parameters are explicit pytrees (loaded via io.torch_convert or random);
+    `low_noise` / `high_noise` may alias the same object for single-expert
+    models (reference x2x_gen_unified_1_3B.py:139-140).
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        low_noise: ExpertParams,
+        high_noise: Optional[ExpertParams] = None,
+        vae: Optional[Wan21VAE] = None,
+        special_tokens: Optional[Dict[str, jnp.ndarray]] = None,
+        text_encoder=None,  # optional callable: list[str] -> list[[L, text_dim]]
+        attn_impl: str = "auto",
+    ):
+        self.config = config
+        self.low_noise = low_noise
+        self.high_noise = high_noise or low_noise
+        self.vae = vae
+        self.special_tokens = special_tokens
+        self.text_encoder = text_encoder
+        self.attn_impl = attn_impl
+        self.num_train_timesteps = config.num_train_timesteps
+        self.boundary = config.boundary
+        # DiT context budget = max_context_len (unified_model.py:73-75)
+        self.dit_cfg = config.dit.replace(text_len=config.max_context_len)
+        self._denoise_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def random_init(
+        cls,
+        config: PipelineConfig,
+        seed: int = 0,
+        with_vae: bool = True,
+        attn_impl: str = "auto",
+    ) -> "OmniVideoX2XUnified":
+        """Random-weight pipeline for smoke tests / benchmarks."""
+        from ..models.unified import init_unified_companions
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        dtype = config.jnp_param_dtype
+        low = ExpertParams(
+            wan=init_wan_dit(k1, config.dit, dtype=dtype),
+            companions=init_unified_companions(k2, config),
+        )
+        high = low
+        if config.dual_expert:
+            high = ExpertParams(
+                wan=init_wan_dit(k3, config.dit, dtype=dtype),
+                companions=low.companions,
+            )
+        vae = None
+        if with_vae:
+            vae = Wan21VAE.create(init_vae(k4, config.vae), config.vae)
+        return cls(config, low, high, vae=vae, attn_impl=attn_impl)
+
+    # ------------------------------------------------------------------
+    def _encode_text(self, text: str) -> jnp.ndarray:
+        if self.text_encoder is None:
+            raise ValueError(
+                "no text encoder attached; pass precomputed_context or attach "
+                "a T5 encoder (models.t5)"
+            )
+        return self.text_encoder([text])[0]
+
+    def _latent_shape(self, size, frame_num):
+        vs = self.config.vae.vae_stride
+        return (
+            self.config.vae.z_dim,
+            (frame_num - 1) // vs[0] + 1,
+            size[1] // vs[1],
+            size[0] // vs[2],
+        )
+
+    def _make_solver(self, sample_solver, sampling_steps, shift):
+        if sample_solver == "unipc":
+            return FlowUniPC.create(
+                sampling_steps, shift=shift, num_train_timesteps=self.num_train_timesteps
+            )
+        if sample_solver == "dpm++":
+            sig = get_sampling_sigmas(sampling_steps, shift)
+            return FlowDPMSolver.create(
+                sigmas=sig, num_train_timesteps=self.num_train_timesteps
+            )
+        raise NotImplementedError(f"unsupported solver {sample_solver}")
+
+    def _denoise_segment_fn(self, solver_cls, seg_len: int, seq_len: int):
+        """Build (and cache) the jitted per-expert scan."""
+        key = (solver_cls, seg_len, seq_len, self.attn_impl)
+        if key in self._denoise_cache:
+            return self._denoise_cache[key]
+
+        cfg = self.dit_cfg
+        attn_impl = self.attn_impl
+        scan_step = solver_cls.scan_step
+        pdtype = self.config.jnp_param_dtype
+
+        @jax.jit
+        def run(wan_params, state, coeffs, mixed2, guide_scale):
+            ctx_emb2 = embed_context(wan_params, cfg, mixed2.astype(pdtype))
+
+            def body(st, c):
+                x2 = jnp.concatenate([st.x, st.x], axis=0).astype(pdtype)
+                t2 = jnp.full((2,), c.timestep, jnp.float32)
+                v2 = wan_dit_apply(
+                    wan_params,
+                    cfg,
+                    x2,
+                    t2,
+                    ctx_emb2,
+                    seq_len=seq_len,
+                    context_embedded=True,
+                    attn_impl=attn_impl,
+                )
+                # CFG: uncond + g·(cond − uncond) (x2x_gen_unified.py:484)
+                v = v2[1:] + guide_scale * (v2[0:1] - v2[1:])  # keep [1,...]
+                return scan_step(st, c, v), None
+
+            state, _ = jax.lax.scan(body, state, coeffs)
+            return state
+
+        self._denoise_cache[key] = run
+        return run
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        input_prompt: str = "",
+        precomputed_context: Optional[jnp.ndarray] = None,
+        precomputed_context_null: Optional[jnp.ndarray] = None,
+        ar_vision_input: Optional[jnp.ndarray] = None,
+        visual_emb: Optional[jnp.ndarray] = None,
+        size: Tuple[int, int] = (1280, 720),
+        frame_num: int = 81,
+        shift: float = 5.0,
+        sample_solver: str = "unipc",
+        sampling_steps: int = 50,
+        guide_scale=5.0,
+        n_prompt: str = "",
+        seed: int = -1,
+        condition_mode: str = "auto",
+        decode: bool = True,
+    ):
+        """Generate a video (reference generate(), x2x_gen_unified.py:261-540).
+
+        Returns decoded video [3, frame_num, H, W] f32 in [-1,1], or the raw
+        latents when decode=False.
+        """
+        cfg = self.config
+        target_shape = self._latent_shape(size, frame_num)
+        pt, ph, pw = cfg.dit.patch_size
+        seq_len = math.ceil(
+            (target_shape[2] * target_shape[3]) / (ph * pw) * target_shape[1]
+        )
+
+        if n_prompt == "":
+            n_prompt = prompts.SAMPLE_NEG_PROMPT_EN
+        seed = seed if seed >= 0 else int(np.random.randint(0, 2**31 - 1))
+        key = jax.random.PRNGKey(seed)
+
+        # ---- conditioning --------------------------------------------------
+        context = (
+            precomputed_context
+            if precomputed_context is not None
+            else self._encode_text(input_prompt)
+        )
+        context_null = (
+            precomputed_context_null
+            if precomputed_context_null is not None
+            else (self._encode_text(n_prompt) if self.text_encoder else None)
+        )
+        if context_null is None:
+            log.warning("no negative context available; using zeros")
+            context_null = jnp.zeros((1, cfg.dit.text_dim), jnp.float32)
+
+        ar_null = None
+        if ar_vision_input is not None and condition_mode != "text_only":
+            ar_null = null_ar_vision(ar_vision_input.shape[-1])
+
+        def mixed(ctx, arv, companions):
+            return build_mixed_context(
+                companions,
+                cfg,
+                context=ctx,
+                ar_vision=arv,
+                visual_emb=visual_emb,
+                special_tokens=self.special_tokens,
+                condition_mode="full" if condition_mode == "auto" else condition_mode,
+            )
+
+        # ---- solver + noise ------------------------------------------------
+        solver = self._make_solver(sample_solver, sampling_steps, shift)
+        noise = jax.random.normal(key, target_shape, jnp.float32)[None]  # [1,C,F,h,w]
+        state = solver.init_state(noise)
+
+        boundary_t = self.boundary * self.num_train_timesteps
+        n_high = int(np.sum(solver.timesteps >= boundary_t)) if self.config.dual_expert else 0
+        S = len(solver.timesteps)
+
+        if isinstance(guide_scale, (tuple, list)):
+            g_low, g_high = float(guide_scale[0]), float(guide_scale[1])
+        else:
+            g_low = g_high = float(guide_scale)
+
+        segments = []
+        if n_high > 0:
+            segments.append((self.high_noise, 0, n_high, g_high))
+        if n_high < S:
+            segments.append((self.low_noise, n_high, S, g_low))
+
+        solver_cls = type(solver)
+        for expert, a, b, g in segments:
+            coeffs_seg = jax.tree_util.tree_map(lambda f: f[a:b], solver.coeffs)
+            mixed2 = jnp.stack(
+                [
+                    mixed(context, ar_vision_input, expert.companions),
+                    mixed(context_null, ar_null, expert.companions),
+                ]
+            )
+            run = self._denoise_segment_fn(solver_cls, b - a, seq_len)
+            state = run(expert.wan, state, coeffs_seg, mixed2, jnp.float32(g))
+
+        latents = state.x  # [1, C, F, h, w] f32
+        if not decode:
+            return latents
+        assert self.vae is not None, "no VAE attached"
+        video = self.vae.decode(latents)
+        return np.asarray(video[0])

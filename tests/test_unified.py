@@ -1,0 +1,97 @@
+"""Unified mixed-condition model parity against the reference implementation.
+
+Fixture from tools/dev/make_golden_unified.py (reference torch forward with
+VLM features + text + visual context, special tokens, truncation at
+max_context_len=40).
+"""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnivideo_tpu.configs.base import PipelineConfig, VAEConfig, WanDiTConfig
+from omnivideo_tpu.io.torch_convert import (
+    split_unified_state_dict,
+    to_jnp,
+    unified_companions_to_params,
+    wan_state_dict_to_params,
+)
+from omnivideo_tpu.models.unified import build_mixed_context, null_ar_vision
+from omnivideo_tpu.models.wan_dit import wan_dit_apply
+
+GOLDEN = Path(__file__).parent / "golden" / "unified_tiny.npz"
+
+CFG = PipelineConfig(
+    name="tiny",
+    dit=WanDiTConfig(
+        patch_size=(1, 2, 2), text_len=512, in_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=48, out_dim=4, num_heads=4, num_layers=2,
+        qk_norm=True, cross_attn_norm=True, eps=1e-6,
+    ),
+    vae=VAEConfig(z_dim=4),
+    vlm_in_dim=24,
+    use_visual_context_adapter=True,
+    visual_context_adapter_patch_size=(1, 4, 4),
+    max_context_len=40,
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    assert GOLDEN.exists(), "run tools/dev/make_golden_unified.py"
+    return np.load(GOLDEN)
+
+
+def test_unified_forward_parity(golden):
+    sd = {k[len("sd::"):]: golden[k] for k in golden.files if k.startswith("sd::")}
+    wan_sd, comp_sd = split_unified_state_dict(sd)
+    wan_params = to_jnp(wan_state_dict_to_params(wan_sd, CFG.dit.num_layers))
+    companions = to_jnp(unified_companions_to_params(comp_sd))
+    special = {
+        k[len("st::"):]: jnp.asarray(golden[k])
+        for k in golden.files
+        if k.startswith("st::")
+    }
+
+    # the DiT's context budget becomes max_context_len (unified_model.py:73-75)
+    dit_cfg = CFG.dit.replace(text_len=CFG.max_context_len)
+
+    mixed = build_mixed_context(
+        companions,
+        CFG,
+        context=jnp.asarray(golden["ctx"]),
+        ar_vision=jnp.asarray(golden["ar_vision"]),
+        visual_emb=jnp.asarray(golden["visual_emb"]),
+        special_tokens=special,
+        condition_mode="full",
+    )
+    assert mixed.shape == (40, 48)  # truncated: 7 + 1+10+1 + 1+12+1 = 33 → pad 40
+    out = wan_dit_apply(
+        wan_params,
+        dit_cfg,
+        jnp.asarray(golden["x"]),
+        jnp.asarray(golden["t"]),
+        mixed[None],
+        seq_len=3 * 4 * 4,
+        attn_impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out), golden["out"], rtol=3e-4, atol=3e-4)
+
+
+def test_null_ar_vision():
+    n = null_ar_vision(24)
+    assert n.shape == (2, 24)
+    np.testing.assert_allclose(np.asarray(n), np.full((2, 24), 1e-6, np.float32), rtol=1e-6)
+
+
+def test_mixed_context_text_only(golden):
+    sd = {k[len("sd::"):]: golden[k] for k in golden.files if k.startswith("sd::")}
+    _, comp_sd = split_unified_state_dict(sd)
+    companions = to_jnp(unified_companions_to_params(comp_sd))
+    ctx = jnp.asarray(golden["ctx"])
+    mixed = build_mixed_context(companions, CFG, context=ctx, condition_mode="full")
+    # no special tokens, no vlm/visual: just the context, padded
+    np.testing.assert_allclose(np.asarray(mixed[:10]), np.asarray(ctx), rtol=1e-6)
+    assert float(jnp.abs(mixed[10:]).max()) == 0.0

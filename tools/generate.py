@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Unified x2x generation CLI.
+
+Role of reference `tools/inference/generate_omni_{t2v,v2v}.py` (argparse flags
+mirroring generate_omni_v2v.py:92-281): JSONL input, T2V rows
+`{"sample_id", "prompt"}` and V2V rows `{"id", "source_clip_path",
+"edit_prompt"}` (samples/*.jsonl), video outputs to --output_dir.
+
+TPU-native differences: no torchrun/NCCL bring-up — multi-host data
+parallelism shards the JSONL by host id (`--dp_rank/--dp_world_size` or
+jax.process_index), and every host computes identical conditioning
+deterministically instead of broadcasting tensors.
+
+Smoke mode: `--random_weights` runs the full pipeline with random params (no
+checkpoints needed), optionally with `--tiny` to shrink the DiT/VAE.
+"""
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="omnivideo_tpu unified x2x generation")
+    p.add_argument("--task", default="t2v-1.3B", help="config key from WAN_CONFIGS")
+    p.add_argument("--size", default="832*480")
+    p.add_argument("--frame_num", type=int, default=None)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--input", required=True, help="JSONL input file")
+    p.add_argument("--output_dir", default="outputs")
+    p.add_argument("--sample_solver", default="unipc", choices=["unipc", "dpm++"])
+    p.add_argument("--sample_steps", type=int, default=None)
+    p.add_argument("--sample_shift", type=float, default=None)
+    p.add_argument("--sample_guide_scale", type=float, default=None)
+    p.add_argument("--base_seed", type=int, default=42)
+    p.add_argument("--max_context_len", type=int, default=None)
+    p.add_argument("--dp_rank", type=int, default=None)
+    p.add_argument("--dp_world_size", type=int, default=None)
+    p.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--fps", type=int, default=None)
+    # smoke / dev
+    p.add_argument("--random_weights", action="store_true",
+                   help="random-init params (no checkpoint load)")
+    p.add_argument("--tiny", action="store_true", help="shrink model for smoke runs")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omnivideo_tpu.configs import SIZE_CONFIGS, WAN_CONFIGS
+    from omnivideo_tpu.pipelines.x2x import OmniVideoX2XUnified
+    from omnivideo_tpu.utils.video import save_video
+
+    cfg = WAN_CONFIGS[args.task]
+    if args.max_context_len:
+        cfg = cfg.replace(max_context_len=args.max_context_len)
+    if args.tiny:
+        cfg = cfg.replace(
+            dit=cfg.dit.replace(dim=64, ffn_dim=128, num_heads=4, num_layers=2,
+                                freq_dim=32, text_dim=48),
+            vae=cfg.vae.__class__(dim=8, z_dim=16, num_res_blocks=1),
+            max_context_len=64,
+        )
+    size = SIZE_CONFIGS[args.size] if args.size in SIZE_CONFIGS else tuple(
+        int(v) for v in args.size.split("*")
+    )
+    frame_num = args.frame_num or cfg.frame_num
+    steps = args.sample_steps or cfg.sample_steps
+    shift = args.sample_shift or cfg.sample_shift
+    guide = (
+        (args.sample_guide_scale, args.sample_guide_scale)
+        if args.sample_guide_scale
+        else cfg.sample_guide_scale
+    )
+
+    if args.random_weights:
+        pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl=args.attn_impl)
+    else:
+        assert args.ckpt_dir, "--ckpt_dir required without --random_weights"
+        from omnivideo_tpu.pipelines.loading import load_pipeline
+
+        pipe = load_pipeline(cfg, args.ckpt_dir, attn_impl=args.attn_impl)
+
+    # data-parallel JSONL sharding (reference generate_omni_v2v.py:573-574)
+    dp_rank = args.dp_rank if args.dp_rank is not None else jax.process_index()
+    dp_ws = args.dp_world_size if args.dp_world_size is not None else jax.process_count()
+
+    rows = [json.loads(l) for l in open(args.input) if l.strip()]
+    outdir = Path(args.output_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    for idx, row in enumerate(rows):
+        if idx % dp_ws != dp_rank:
+            continue
+        sample_id = row.get("sample_id", row.get("id", idx))
+        prompt = row.get("prompt", row.get("edit_prompt", ""))
+        visual_emb = None
+        if "source_clip_path" in row and pipe.vae is not None:
+            from omnivideo_tpu.utils.video import (
+                read_video_frames,
+                sample_and_transform_frames,
+            )
+
+            frames, src_fps = read_video_frames(row["source_clip_path"])
+            clip = sample_and_transform_frames(
+                frames, frame_num, size, src_fps, cfg.sample_fps
+            )
+            visual_emb = pipe.vae.encode(jnp.asarray(clip)[None])[0]
+            # slice to DiT latent frames (generate_omni_v2v.py:603-638)
+            lat_f = (frame_num - 1) // cfg.vae.vae_stride[0] + 1
+            visual_emb = visual_emb[:, :lat_f]
+
+        if args.random_weights:
+            # smoke path: deterministic pseudo-context instead of T5/VLM
+            ctx = jnp.asarray(
+                np.random.default_rng(abs(hash(prompt)) % 2**31)
+                .standard_normal((16, cfg.dit.text_dim))
+                .astype(np.float32)
+            )
+            kw = dict(precomputed_context=ctx,
+                      precomputed_context_null=jnp.zeros_like(ctx))
+        else:
+            kw = dict(input_prompt=prompt)
+
+        t0 = time.time()
+        video = pipe.generate(
+            visual_emb=visual_emb,
+            size=size,
+            frame_num=frame_num,
+            shift=shift,
+            sample_solver=args.sample_solver,
+            sampling_steps=steps,
+            guide_scale=guide,
+            seed=args.base_seed + idx,
+            **kw,
+        )
+        dt = time.time() - t0
+        out = save_video(
+            str(outdir / f"{sample_id}.mp4"), video, fps=args.fps or cfg.sample_fps
+        )
+        logging.info("sample %s -> %s  (%.1fs)", sample_id, out, dt)
+
+
+if __name__ == "__main__":
+    main()
