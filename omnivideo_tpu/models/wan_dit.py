@@ -25,8 +25,9 @@ re-designed for XLA/TPU:
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -187,6 +188,32 @@ def unpatchify(
     return x.reshape(B, out_dim, f * pt, h * ph, w * pw)
 
 
+@dataclasses.dataclass(frozen=True)
+class SPConfig:
+    """Sequence-parallel configuration for the DiT forward.
+
+    Replaces the reference's monkey-patched sequence-parallel forwards
+    (full_sequence_parallel.py:63-232, installed via types.MethodType at
+    x2x_gen_unified.py:171-182) with a declarative option: one forward,
+    sharding chosen by config.
+
+    mode: 'ulysses' (all_to_all head-scatter, C14), 'ring' (ppermute K/V
+    rotation, P11), or 'hybrid' (2-D Ulysses×ring, P10).
+    """
+
+    mesh: Any
+    mode: str = "ulysses"
+    seq_axis: str = "seq"
+    ulysses_axis: str = "fsdp"  # inner axis for hybrid
+
+    @property
+    def sp_size(self) -> int:
+        n = self.mesh.shape[self.seq_axis]
+        if self.mode == "hybrid":
+            n *= self.mesh.shape[self.ulysses_axis]
+        return n
+
+
 class WanAuxInputs(NamedTuple):
     """Per-call tensors shared by every block."""
 
@@ -195,6 +222,7 @@ class WanAuxInputs(NamedTuple):
     rope_cos: jnp.ndarray  # [Lr, head_dim//2] f32
     rope_sin: jnp.ndarray
     kv_lens: Optional[jnp.ndarray]  # [B] valid self-attn kv length or None
+    sp: Optional[SPConfig] = None
 
 
 def wan_block_apply(
@@ -222,7 +250,30 @@ def wan_block_apply(
     v = _dense(sa["v"], y).reshape(B, L, N, hd)
     q = apply_rope(q, aux.rope_cos, aux.rope_sin)
     k = apply_rope(k, aux.rope_cos, aux.rope_sin)
-    o = attention(q, k, v, kv_lens=aux.kv_lens, impl=attn_impl).reshape(B, L, d)
+    sp = aux.sp
+    if sp is None:
+        o = attention(q, k, v, kv_lens=aux.kv_lens, impl=attn_impl)
+    elif sp.mode == "ulysses":
+        from ..parallel.ulysses import ulysses_attention
+
+        o = ulysses_attention(
+            q, k, v, sp.mesh, axis=sp.seq_axis, kv_lens=aux.kv_lens, impl=attn_impl
+        )
+    elif sp.mode == "ring":
+        from ..parallel.ring import ring_attention
+
+        assert aux.kv_lens is None, "ring attention requires unpadded seq_len"
+        o = ring_attention(q, k, v, sp.mesh, axis=sp.seq_axis)
+    elif sp.mode == "hybrid":
+        from ..parallel.ring import hybrid_attention
+
+        assert aux.kv_lens is None, "hybrid attention requires unpadded seq_len"
+        o = hybrid_attention(
+            q, k, v, sp.mesh, ulysses_axis=sp.ulysses_axis, ring_axis=sp.seq_axis
+        )
+    else:
+        raise ValueError(sp.mode)
+    o = o.reshape(B, L, d)
     o = _dense(sa["o"], o)
     x = x + o.astype(jnp.float32) * e3  # f32 residual (model.py:245-246)
 
@@ -296,6 +347,7 @@ def wan_dit_apply(
     attn_impl: str = "auto",
     remat: bool = False,
     mesh=None,
+    sp: Optional[SPConfig] = None,
 ) -> jnp.ndarray:
     """Full DiT forward (reference model.py:417-524).
 
@@ -333,8 +385,15 @@ def wan_dit_apply(
         context = embed_context(params, cfg, context)
     context = context.astype(pdtype)
 
+    if sp is not None:
+        assert L % sp.sp_size == 0, (
+            f"seq_len {L} not divisible by sp_size {sp.sp_size}; round it up "
+            "(reference x2x_gen_unified.py:332-334)"
+        )
     cos, sin = rope_3d_tables(grid, cfg.head_dim, cfg.rope_max_seq_len, cfg.rope_theta)
-    aux = WanAuxInputs(e0=e0, context=context, rope_cos=cos, rope_sin=sin, kv_lens=kv_lens)
+    aux = WanAuxInputs(
+        e0=e0, context=context, rope_cos=cos, rope_sin=sin, kv_lens=kv_lens, sp=sp
+    )
 
     block_fn = lambda bp, xx: wan_block_apply(bp, xx, aux, cfg, attn_impl)
     if remat:

@@ -1,0 +1,157 @@
+"""Ring attention over the 'seq' mesh axis.
+
+Role of reference ring flash-attention
+(`previous_version/.../llava/train/sequence_parallel/ring/ring_flash_attn.py:26-73`
+and the online LSE merge `ring/utils.py:29-40`): K/V blocks rotate around the
+ring while each device accumulates attention for its local queries with a
+numerically-stable online max/sum merge.
+
+TPU-native: `jax.shard_map` + `lax.ppermute` (XLA maps the rotation onto ICI
+neighbor links); the per-block partial attention uses f32 logits on the MXU.
+The reference's P2P RingComm send/recv double-buffering is what ppermute
+compiles to — overlap is the compiler's job (a fused Pallas ring kernel with
+explicit RDMA double-buffering is the planned upgrade, see ops/pallas/).
+
+Non-causal (video DiT attention is bidirectional); zigzag/stripe causal
+load-balancing variants apply only to causal LLM training and are provided by
+block masking in ring_attention_local(causal=True).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+NEG_INF = -1e30
+
+
+def _block_attn(q, k, v, scale):
+    """Partial attention for one K/V block.
+
+    Returns (unnormalized out [B,Lq,N,D] f32, m [B,N,Lq,1], l [B,N,Lq,1]).
+    """
+    s = jnp.einsum("bind,bjnd->bnij", q, k, preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bnij,bjnd->bind", p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return o, m, l
+
+
+def ring_attention_local(
+    q, k, v, axis: str = "seq", causal: bool = False, softmax_scale: Optional[float] = None
+):
+    """Ring attention on sequence-sharded q/k/v; call inside shard_map.
+
+    q/k/v: [B, L/n, N, D] local blocks. K/V rotate n−1 times via ppermute;
+    online merge keeps a running (out, m, l) triple (ring/utils.py:29-40).
+    """
+    n = jax.lax.psum(1, axis)
+    my = jax.lax.axis_index(axis)
+    B, Lq, N, D = q.shape
+    scale = softmax_scale if softmax_scale is not None else D**-0.5
+    qf = q
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, i):
+        out, m, l, kk, vv = carry
+        src_rank = (my - i) % n  # which device's block we currently hold
+
+        o_b, m_b, l_b = _block_attn(qf, kk, vv, scale)
+        if causal:
+            # keep only blocks from ranks ≤ own (block-causal across the ring)
+            keep = (src_rank <= my).astype(jnp.float32)
+            m_b = jnp.where(keep > 0, m_b, NEG_INF)
+            l_b = l_b * keep
+            o_b = o_b * keep
+
+        m_new = jnp.maximum(m, m_b)
+        a = jnp.exp(m - m_new)
+        b = jnp.exp(m_b - m_new)
+        l_new = l * a + l_b * b
+        aq = jnp.moveaxis(a, 1, 2)  # [B,N,Lq,1] → [B,Lq,N,1]
+        bq = jnp.moveaxis(b, 1, 2)
+        out = out * aq + o_b * bq
+
+        kk = jax.lax.ppermute(kk, axis, perm)
+        vv = jax.lax.ppermute(vv, axis, perm)
+        return (out, m_new, l_new, kk, vv), None
+
+    out0 = jnp.zeros((B, Lq, N, D), jnp.float32)
+    m0 = jnp.full((B, N, Lq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, N, Lq, 1), jnp.float32)
+    (out, m, l, _, _), _ = jax.lax.scan(
+        step, (out0, m0, l0, k, v), jnp.arange(n)
+    )
+    l = jnp.maximum(jnp.moveaxis(l, 1, 2), 1e-20)
+    return (out / l).astype(q.dtype)
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "seq",
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Global-view wrapper: shard along L over `axis`, run ring attention."""
+    n = mesh.shape[axis]
+    B, L, N, D = q.shape
+    assert L % n == 0, (L, n)
+    spec = P(None, axis, None, None)
+    fn = jax.shard_map(
+        functools.partial(
+            ring_attention_local, axis=axis, causal=causal, softmax_scale=softmax_scale
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+def hybrid_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    ulysses_axis: str = "fsdp",
+    ring_axis: str = "seq",
+    causal: bool = False,
+) -> jnp.ndarray:
+    """2-D hybrid Ulysses×Ring sequence parallelism.
+
+    Role of reference HybridAttention
+    (`.../sequence_parallel/hybrid_attn.py:93-190`): Ulysses all_to_all
+    scatters heads across the inner axis, ring attention spans the outer
+    axis — sp_degree = ulysses × ring (globals.py:40-152).
+    """
+    from .ulysses import _a2a_gather_heads, _a2a_scatter_heads
+
+    nu = mesh.shape[ulysses_axis]
+    nr = mesh.shape[ring_axis]
+    B, L, N, D = q.shape
+    assert L % (nu * nr) == 0 and N % nu == 0
+
+    spec = P(None, (ulysses_axis, ring_axis), None, None)
+
+    def local(q, k, v):
+        # Ulysses: [B, L/(nu·nr), N, D] → [B, L/nr, N/nu, D]
+        q2 = _a2a_scatter_heads(q, ulysses_axis)
+        k2 = _a2a_scatter_heads(k, ulysses_axis)
+        v2 = _a2a_scatter_heads(v, ulysses_axis)
+        o = ring_attention_local(q2, k2, v2, axis=ring_axis, causal=causal)
+        return _a2a_gather_heads(o, ulysses_axis)
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
+    )
+    return fn(q, k, v)

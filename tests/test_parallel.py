@@ -1,0 +1,174 @@
+"""Sequence-parallel attention tests on a virtual 8-device CPU mesh —
+multi-chip behavior the reference can only test with real NCCL ranks
+(SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnivideo_tpu.ops.attention import attention_xla
+from omnivideo_tpu.parallel.mesh import create_mesh
+from omnivideo_tpu.parallel.ring import hybrid_attention, ring_attention
+from omnivideo_tpu.parallel.sharding import params_shardings
+from omnivideo_tpu.parallel.ulysses import ulysses_attention
+
+
+def _qkv(B=1, L=64, N=8, D=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda s: jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    return mk(0), mk(1), mk(2)
+
+
+def test_ulysses_matches_full_attention():
+    mesh = create_mesh(dp=1, fsdp=1, sp=8)
+    q, k, v = _qkv()
+    ref = attention_xla(q, k, v)
+    with mesh:
+        out = ulysses_attention(q, k, v, mesh, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_ulysses_cross_attention_shapes():
+    """Different q and kv lengths (cross-attn under SP shards context too,
+    full_sequence_parallel.py:204-232)."""
+    mesh = create_mesh(dp=1, fsdp=1, sp=8)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 64, 8, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 32, 8, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 32, 8, 16)), jnp.float32)
+    ref = attention_xla(q, k, v)
+    with mesh:
+        out = ulysses_attention(q, k, v, mesh, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_ring_matches_full_attention():
+    mesh = create_mesh(dp=1, fsdp=1, sp=8)
+    q, k, v = _qkv(seed=2)
+    ref = attention_xla(q, k, v)
+    with mesh:
+        out = ring_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_ring_causal_matches_masked_attention():
+    """Block-causal ring == attention masked at ring-block granularity."""
+    mesh = create_mesh(dp=1, fsdp=1, sp=4)
+    q, k, v = _qkv(L=32, seed=3)
+    n, L = 4, 32
+    blk = L // n
+    # block-causal mask: query block i attends to key blocks ≤ i
+    qi = np.arange(L)[:, None] // blk
+    ki = np.arange(L)[None, :] // blk
+    mask = (ki <= qi)[None, None]
+    logits = np.einsum("bind,bjnd->bnij", np.asarray(q, np.float64), np.asarray(k, np.float64)) / 4.0
+    logits = np.where(mask, logits, -1e30)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    ref = np.einsum("bnij,bjnd->bind", w, np.asarray(v, np.float64))
+    with mesh:
+        out = ring_attention(q, k, v, mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_hybrid_ulysses_ring_matches_full_attention():
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)  # ulysses=2 × ring=4
+    q, k, v = _qkv(L=64, N=8, seed=4)
+    ref = attention_xla(q, k, v)
+    with mesh:
+        out = hybrid_attention(q, k, v, mesh, ulysses_axis="fsdp", ring_axis="seq")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_ulysses_gradients():
+    mesh = create_mesh(dp=1, fsdp=1, sp=8)
+    q, k, v = _qkv(seed=5)
+
+    def loss_sp(q, k, v):
+        with mesh:
+            return jnp.sum(ulysses_attention(q, k, v, mesh, impl="xla") ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) ** 2)
+
+    g_sp = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_sp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+def test_fsdp_param_sharding_rules():
+    mesh = create_mesh(dp=2, fsdp=4, sp=1)
+    params = {
+        "blocks": {"ffn": {"kernel": jnp.zeros((4, 256, 512))}},
+        "small": jnp.zeros((7,)),
+        "embed": {"kernel": jnp.zeros((1000, 256))},
+    }
+    sh = params_shardings(params, mesh)
+    assert "fsdp" in str(sh["blocks"]["ffn"]["kernel"].spec)
+    assert sh["small"].spec == jax.sharding.PartitionSpec()
+    # stacked block leaves never shard the layer axis
+    assert sh["blocks"]["ffn"]["kernel"].spec[0] is None
+
+
+def test_sp_dit_forward_matches_single_device():
+    """The sequence-parallel DiT forward equals the single-device forward —
+    parity target of reference full_sequence_parallel.py (C15)."""
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.configs.base import WanDiTConfig
+    from omnivideo_tpu.models.wan_dit import SPConfig, init_wan_dit, wan_dit_apply
+
+    cfg = WanDiTConfig(
+        patch_size=(1, 2, 2), text_len=16, in_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=48, out_dim=4, num_heads=4, num_layers=2,
+    )
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # make the output nontrivial (zero-init head)
+    params["head"]["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["kernel"].shape
+    ) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 8, 8))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 48))
+    # L = 4*4*4 = 64, divisible by sp 4; heads 4 divisible
+    ref = wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla")
+
+    mesh = create_mesh(dp=1, fsdp=1, sp=4)
+    for mode in ("ulysses", "ring"):
+        with mesh:
+            out = wan_dit_apply(
+                params, cfg, x, t, ctx, attn_impl="xla",
+                sp=SPConfig(mesh=mesh, mode=mode),
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-5, err_msg=mode
+        )
+
+
+def test_sp_dit_hybrid_matches():
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.configs.base import WanDiTConfig
+    from omnivideo_tpu.models.wan_dit import SPConfig, init_wan_dit, wan_dit_apply
+
+    cfg = WanDiTConfig(
+        patch_size=(1, 2, 2), text_len=16, in_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=48, out_dim=4, num_heads=4, num_layers=2,
+    )
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["head"]["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["kernel"].shape
+    ) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 8, 8))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 48))
+    ref = wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla")
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    with mesh:
+        out = wan_dit_apply(
+            params, cfg, x, t, ctx, attn_impl="xla",
+            sp=SPConfig(mesh=mesh, mode="hybrid"),
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-5)
