@@ -289,3 +289,53 @@ def test_flow_match_euler_step_recovers_linear_path():
     for i in range(20):
         x = s.step(v, s.timesteps[i], x)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# EnhancedDDIM / ContinuousODE (reference schedulers/ddim.py, continuous_ode.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ddim_roundtrip_and_final_step():
+    from omnivideo_tpu.schedulers import EnhancedDDIMScheduler
+
+    s = EnhancedDDIMScheduler.create(num_inference_steps=10)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+    t = s.timesteps[3]
+    noisy = s.add_noise(x0, eps, t)
+    # epsilon prediction: return_to_timestep inverts add_noise
+    rec = s.return_to_timestep(t, noisy, x0)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(eps), rtol=1e-4, atol=1e-5)
+    # exact-eps DDIM from the last timestep with to_final recovers x0
+    out = s.step(eps, t, noisy, to_final=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), rtol=1e-3, atol=1e-4)
+
+
+def test_ddim_zero_terminal_snr():
+    from omnivideo_tpu.schedulers import EnhancedDDIMScheduler
+
+    s = EnhancedDDIMScheduler.create(rescale_zero_terminal_snr=True)
+    assert abs(float(s.alphas_cumprod[-1])) < 1e-10
+
+
+def test_continuous_ode_schedule_and_noise():
+    from omnivideo_tpu.schedulers import ContinuousODEScheduler
+
+    s = ContinuousODEScheduler.create(num_inference_steps=20)
+    sig = np.asarray(s.sigmas)
+    assert sig[0] == pytest.approx(700.0, rel=1e-4)
+    assert sig[-1] == pytest.approx(0.002, rel=1e-3)
+    np.testing.assert_allclose(np.asarray(s.timesteps), np.log(sig) * 0.25, rtol=1e-5)
+    rng = np.random.default_rng(8)
+    x0 = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+    t = s.timesteps[5]
+    noisy = s.add_noise(x0, eps, t)
+    sigma = sig[5]
+    np.testing.assert_allclose(
+        np.asarray(noisy),
+        (np.asarray(x0) + np.asarray(eps) * sigma) / np.sqrt(sigma**2 + 1),
+        rtol=1e-4,
+    )
