@@ -144,3 +144,60 @@ def load_special_tokens_pkl(path: str, dtype=jnp.float32) -> Dict[str, jnp.ndarr
     return {
         k: jnp.asarray(np.asarray(v.float()), dtype=dtype) for k, v in obj.items()
     }
+
+
+def build_mixed_context_batch(
+    companions,
+    cfg: PipelineConfig,
+    text_ctx: Optional[jnp.ndarray] = None,
+    vlm: Optional[jnp.ndarray] = None,
+    visual_emb: Optional[jnp.ndarray] = None,
+    special_tokens: Optional[Dict[str, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Batched mixed-context assembly for training.
+
+    text_ctx: [B, Lt, text_dim] (zero-padded — matching the reference
+    collate's pad-to-max, omnivideo_dataset_patched.py:96-234, which the tight
+    concat then includes); vlm: [B, Lv, vlm_dim]; visual_emb: [B, C, F, h, w].
+    Returns [B, max_context_len, text_dim]. All lengths static → jit-stable.
+    """
+    td = cfg.dit.text_dim
+    parts = []
+    B = None
+    for a in (text_ctx, vlm, visual_emb):
+        if a is not None:
+            B = a.shape[0]
+            break
+    assert B is not None
+
+    def tok(name):
+        t = special_tokens[name]
+        t = t if t.ndim == 2 else t[None]
+        return jnp.broadcast_to(t[None].astype(jnp.float32), (B, t.shape[0], td))
+
+    if vlm is not None:
+        h = rms_norm(vlm, companions["vlm_norm"], cfg.dit.eps)
+        parts.append(_dense(companions["vlm_proj"], h).astype(jnp.float32))
+    if text_ctx is not None:
+        if special_tokens is not None:
+            parts.extend([tok("<prp_st>"), text_ctx.astype(jnp.float32), tok("<prp_ed>")])
+        else:
+            parts.append(text_ctx.astype(jnp.float32))
+    if visual_emb is not None and "visual_context_adapter" in companions:
+        vis = vca_apply(
+            companions["visual_context_adapter"],
+            visual_emb,
+            cfg.visual_context_adapter_patch_size,
+            cfg.dit.eps,
+        ).astype(jnp.float32)
+        if special_tokens is not None:
+            parts.extend([tok("<img_st>"), vis, tok("<img_ed>")])
+        else:
+            parts.append(vis)
+    mixed = jnp.concatenate(parts, axis=1)
+    L = cfg.max_context_len
+    if mixed.shape[1] > L:
+        mixed = mixed[:, :L]
+    elif mixed.shape[1] < L:
+        mixed = jnp.pad(mixed, ((0, 0), (0, L - mixed.shape[1]), (0, 0)))
+    return mixed

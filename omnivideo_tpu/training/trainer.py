@@ -143,3 +143,98 @@ def make_train_step(
 
 def init_train_state(params, tx) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# unified (mixed-condition) training: wan + companions jointly
+# ---------------------------------------------------------------------------
+
+
+def make_unified_train_step(
+    cfg: PipelineConfig,
+    tc: TrainConfig,
+    tx,
+    special_tokens=None,
+    mesh=None,
+    attn_impl: str = "auto",
+):
+    """Train step for the unified mixed-condition model.
+
+    params pytree: {'wan': <DiT>, 'companions': <vlm_norm/vlm_proj/vca>}.
+    batch: {'latents': [B,C,F,h,w], 'context': [B,Lt,text_dim],
+            'vlm': [B,Lv,vlm_dim] (optional), 'visual_emb': [B,C,F,h,w] (optional)}
+
+    CFG dropout (reference unified_model.py:157-192): with prob cfg_dropout a
+    sample's conditioning is replaced by the unconditional variant — here both
+    mixed contexts are assembled at fixed shape and selected per-sample, which
+    is exact under the reference's own zero-pad-and-attend semantics.
+    """
+    import jax.numpy as jnp
+
+    from ..models.unified import build_mixed_context_batch, null_ar_vision
+
+    flow = FlowMatchScheduler.create(
+        num_inference_steps=tc.num_train_timesteps,
+        num_train_timesteps=tc.num_train_timesteps,
+        shift=tc.flow_shift,
+        is_training=True,
+    )
+    dit_cfg = cfg.dit.replace(text_len=cfg.max_context_len)
+
+    def loss_fn(params, batch, rng):
+        latents = batch["latents"].astype(jnp.float32)
+        B = latents.shape[0]
+        k_t, k_n, k_cfg = jax.random.split(rng, 3)
+
+        tid = jax.random.randint(k_t, (B,), 0, tc.num_train_timesteps)
+        t = flow.timesteps[tid]
+        noise = jax.random.normal(k_n, latents.shape, jnp.float32)
+        noisy = flow.add_noise(latents, noise, t)
+        target = flow.training_target(latents, noise, t)
+        weights = flow.training_weight(t)
+
+        comp = params["companions"]
+        vlm = batch.get("vlm")
+        visual = batch.get("visual_emb")
+        mixed_c = build_mixed_context_batch(
+            comp, cfg, text_ctx=batch["context"], vlm=vlm, visual_emb=visual,
+            special_tokens=special_tokens,
+        )
+        if tc.cfg_dropout > 0:
+            # unconditional variant: zero text + 2-token null VLM, keeping
+            # visual (unified_model.py:176-190)
+            vlm_null = None
+            if vlm is not None:
+                vlm_null = jnp.broadcast_to(
+                    null_ar_vision(vlm.shape[-1])[None], (B, 2, vlm.shape[-1])
+                )
+            mixed_u = build_mixed_context_batch(
+                comp, cfg, text_ctx=jnp.zeros_like(batch["context"]),
+                vlm=vlm_null, visual_emb=visual, special_tokens=special_tokens,
+            )
+            drop = jax.random.uniform(k_cfg, (B,)) < tc.cfg_dropout
+            mixed_c = jnp.where(drop[:, None, None], mixed_u, mixed_c)
+
+        v = wan_dit_apply(
+            params["wan"],
+            dit_cfg,
+            noisy.astype(cfg.jnp_param_dtype),
+            t,
+            mixed_c,
+            attn_impl=attn_impl,
+            remat=tc.remat,
+            mesh=mesh,
+        )
+        per = jnp.mean(jnp.square(v - target), axis=(1, 2, 3, 4))
+        return jnp.mean(weights * per)
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "grad_norm": optax.global_norm(grads)},
+        )
+
+    return train_step
