@@ -1,0 +1,310 @@
+"""Qwen3 text decoder (dense and MoE) in JAX — the language side of Qwen3-VL.
+
+TPU-native rebuild of the reference's VLM stage backbone (the reference runs
+Qwen3-VL-30B-A3B through HF transformers, `omnivideo/vllm_model.py:24-103`):
+
+- GQA attention with per-head Q/K RMSNorm and rotate-half RoPE;
+- SwiGLU MLP; MoE layers (softmax router, top-k, optional prob renorm) —
+  computed as a dense one-hot-weighted mixture (exact; a sorted/ragged
+  grouped-GEMM kernel is the scale-up path);
+- prefill: one full causal forward (used for feature extraction — the
+  conditioning path needs `hidden_states[-1]`, vllm_model.py:381-399);
+- decode: greedy loop under `lax.scan` with a static-shape KV cache
+  (captioning path).
+
+Weights convert from HF Qwen3/Qwen3Moe state dicts (hf_to_params).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3TextConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 2048
+    intermediate_size: int = 6144
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 4
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = False
+    # MoE (None → dense)
+    num_experts: Optional[int] = None
+    num_experts_per_tok: int = 8
+    moe_intermediate_size: int = 768
+    norm_topk_prob: bool = True
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True) + eps)
+    return (y * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope(x, pos, theta):
+    """rotate-half RoPE. x: [B, L, N, D]; pos: [B, L]."""
+    D = x.shape[-1]
+    inv = 1.0 / (theta ** (np.arange(0, D, 2) / D))
+    ang = pos[..., None].astype(jnp.float32) * jnp.asarray(inv, jnp.float32)
+    cos = jnp.cos(ang)[:, :, None, :]  # [B, L, 1, D/2]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., : D // 2], x[..., D // 2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _mlp(p, x):
+    g = jax.nn.silu(x @ p["gate"])
+    return (g * (x @ p["up"])) @ p["down"]
+
+
+def _moe(p, x, cfg: Qwen3TextConfig):
+    """Exact dense-mixture MoE: softmax router → top-k → weighted sum."""
+    B, L, D = x.shape
+    xt = x.reshape(B * L, D)
+    logits = (xt @ p["gate"]).astype(jnp.float32)  # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, -1, keepdims=True)
+    # dense combine weights [T, E]
+    w = jax.vmap(lambda wi, ii, vv: wi.at[ii].set(vv))(
+        jnp.zeros_like(probs), topi, topv
+    )
+    # expert outputs: [E, T, D]
+    g = jnp.einsum("td,edm->etm", xt, p["experts"]["gate"])
+    u = jnp.einsum("td,edm->etm", xt, p["experts"]["up"])
+    o = jnp.einsum("etm,emd->etd", jax.nn.silu(g) * u, p["experts"]["down"])
+    y = jnp.einsum("te,etd->td", w.astype(o.dtype), o)
+    return y.reshape(B, L, D)
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [layers, B, max_len, kv_heads, head_dim]
+    v: jnp.ndarray
+    length: jnp.ndarray  # [] int32
+
+
+def _attention(lp, x, pos, cfg, mask_bias, cache_kv=None):
+    """Returns (out, (k_new, v_new)) — k/v for this call's tokens only."""
+    B, L, D = x.shape
+    N, K, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = (x @ lp["q"]).reshape(B, L, N, hd)
+    k = (x @ lp["k"]).reshape(B, L, K, hd)
+    v = (x @ lp["v"]).reshape(B, L, K, hd)
+    q = _rms(q, lp["q_norm"], cfg.rms_norm_eps)
+    k = _rms(k, lp["k_norm"], cfg.rms_norm_eps)
+    q = _rope(q, pos, cfg.rope_theta)
+    k = _rope(k, pos, cfg.rope_theta)
+
+    if cache_kv is not None:
+        k_all, v_all = cache_kv  # [B, S, K, hd] including current positions
+    else:
+        k_all, v_all = k, v
+
+    rep = N // K
+    k_r = jnp.repeat(k_all, rep, axis=2)
+    v_r = jnp.repeat(v_all, rep, axis=2)
+    logits = jnp.einsum(
+        "bind,bjnd->bnij", q, k_r, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    logits = logits + mask_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_r.dtype)
+    o = jnp.einsum("bnij,bjnd->bind", probs, v_r, preferred_element_type=jnp.float32)
+    o = o.astype(x.dtype).reshape(B, L, N * hd) @ lp["o"]
+    return o, (k, v)
+
+
+def _layer(lp, x, pos, cfg, mask_bias, cache_kv=None):
+    h, kv = _attention(
+        lp["attn"], _rms(x, lp["ln1"], cfg.rms_norm_eps), pos, cfg, mask_bias, cache_kv
+    )
+    x = x + h
+    hn = _rms(x, lp["ln2"], cfg.rms_norm_eps)
+    if "experts" in lp["mlp"]:
+        x = x + _moe(lp["mlp"], hn, cfg)
+    else:
+        x = x + _mlp(lp["mlp"], hn)
+    return x, kv
+
+
+def qwen3_forward(
+    params, cfg: Qwen3TextConfig, ids: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full causal forward. Returns (last_hidden [B,L,D], logits [B,L,V])."""
+    B, L = ids.shape
+    x = params["embed"][ids]
+    pos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+    causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
+    bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
+    if attn_mask is not None:
+        bias = bias + jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -3.4e38)
+
+    for i in range(cfg.num_hidden_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+        x, _ = _layer(lp, x, pos, cfg, bias)
+    hidden = _rms(x, params["norm"], cfg.rms_norm_eps)
+    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = hidden @ (head.T if cfg.tie_word_embeddings else head)
+    return hidden, logits
+
+
+def qwen3_greedy_decode(
+    params,
+    cfg: Qwen3TextConfig,
+    prompt_ids: jnp.ndarray,
+    max_new_tokens: int,
+    eos_token_id: Optional[int] = None,
+) -> jnp.ndarray:
+    """Greedy decoding with a static KV cache in lax.scan.
+
+    prompt_ids: [1, Lp]. Returns [1, max_new_tokens] (padded with eos after
+    stop). Prefill populates the cache; decode appends one token per step.
+    """
+    B, Lp = prompt_ids.shape
+    assert B == 1
+    max_len = Lp + max_new_tokens
+    N, K, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    nl = cfg.num_hidden_layers
+
+    k_cache = jnp.zeros((nl, B, max_len, K, hd), jnp.float32)
+    v_cache = jnp.zeros_like(k_cache)
+
+    # ---- prefill ----------------------------------------------------------
+    x = params["embed"][prompt_ids]
+    pos = jnp.arange(Lp)[None]
+    causal = jnp.tril(jnp.ones((Lp, Lp), bool))[None, None]
+    bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
+    for i in range(nl):
+        lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+        x, (k, v) = _layer(lp, x, pos, cfg, bias)
+        k_cache = k_cache.at[i, :, :Lp].set(k.astype(jnp.float32))
+        v_cache = v_cache.at[i, :, :Lp].set(v.astype(jnp.float32))
+    hidden = _rms(x[:, -1:], params["norm"], cfg.rms_norm_eps)
+    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = hidden @ (head.T if cfg.tie_word_embeddings else head)
+    first_tok = jnp.argmax(logits[:, -1], -1)  # [1]
+
+    # ---- decode scan -------------------------------------------------------
+    def step(carry, _):
+        tok, length, kc, vc, done = carry
+        x = params["embed"][tok[:, None]]
+        pos = length[None, None]
+        valid = jnp.arange(max_len)[None, None, None, :] < (length + 1)
+        bias = jnp.where(valid, 0.0, -3.4e38).astype(jnp.float32)
+        for i in range(nl):
+            lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+            # run layer against full cache + current token
+            h, (k1, v1) = _layer_cached(lp, x, pos, cfg, bias, kc[i], vc[i], length)
+            kc = kc.at[i].set(
+                jax.lax.dynamic_update_slice(kc[i], k1.astype(jnp.float32), (0, length, 0, 0))
+            )
+            vc = vc.at[i].set(
+                jax.lax.dynamic_update_slice(vc[i], v1.astype(jnp.float32), (0, length, 0, 0))
+            )
+            x = h
+        hidden = _rms(x, params["norm"], cfg.rms_norm_eps)
+        logits = hidden @ (head.T if cfg.tie_word_embeddings else head)
+        nxt = jnp.argmax(logits[:, -1], -1)
+        if eos_token_id is not None:
+            done_now = jnp.logical_or(done, tok[0] == eos_token_id)
+            nxt = jnp.where(done_now, jnp.full_like(nxt, eos_token_id), nxt)
+        else:
+            done_now = done
+        return (nxt, length + 1, kc, vc, done_now), tok
+
+    def _layer_cached(lp, x, pos, cfg_, bias, kc_i, vc_i, length):
+        xn = _rms(x, lp["ln1"], cfg_.rms_norm_eps)
+        B_, L_, D_ = xn.shape
+        q = (xn @ lp["attn"]["q"]).reshape(B_, L_, N, hd)
+        k = (xn @ lp["attn"]["k"]).reshape(B_, L_, K, hd)
+        v = (xn @ lp["attn"]["v"]).reshape(B_, L_, K, hd)
+        q = _rms(q, lp["attn"]["q_norm"], cfg_.rms_norm_eps)
+        k = _rms(k, lp["attn"]["k_norm"], cfg_.rms_norm_eps)
+        q = _rope(q, pos, cfg_.rope_theta)
+        k = _rope(k, pos, cfg_.rope_theta)
+        k_all = jax.lax.dynamic_update_slice(kc_i, k.astype(jnp.float32), (0, length, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(vc_i, v.astype(jnp.float32), (0, length, 0, 0))
+        rep = N // K
+        k_r = jnp.repeat(k_all, rep, axis=2).astype(q.dtype)
+        v_r = jnp.repeat(v_all, rep, axis=2).astype(q.dtype)
+        logits = jnp.einsum("bind,bjnd->bnij", q, k_r, preferred_element_type=jnp.float32) * (
+            hd**-0.5
+        )
+        logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_r.dtype)
+        o = jnp.einsum("bnij,bjnd->bind", probs, v_r, preferred_element_type=jnp.float32)
+        o = o.astype(x.dtype).reshape(B_, L_, N * hd) @ lp["attn"]["o"]
+        h = x + o
+        hn = _rms(h, lp["ln2"], cfg_.rms_norm_eps)
+        if "experts" in lp["mlp"]:
+            h = h + _moe(lp["mlp"], hn, cfg_)
+        else:
+            h = h + _mlp(lp["mlp"], hn)
+        return h, (k, v)
+
+    init = (first_tok, jnp.asarray(Lp, jnp.int32), k_cache, v_cache, jnp.asarray(False))
+    _, toks = jax.lax.scan(step, init, None, length=max_new_tokens)
+    return toks.T  # [1, max_new_tokens]
+
+
+# ---------------------------------------------------------------------------
+# HF conversion
+# ---------------------------------------------------------------------------
+
+
+def hf_to_params(sd: Dict[str, Any], cfg: Qwen3TextConfig):
+    """HF Qwen3/Qwen3Moe state_dict (numpy) → pytree."""
+    g = lambda k: np.asarray(sd[k])
+    t = lambda k: np.ascontiguousarray(g(k).T)
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        lp = {
+            "ln1": g(f"{p}.input_layernorm.weight"),
+            "ln2": g(f"{p}.post_attention_layernorm.weight"),
+            "attn": {
+                "q": t(f"{p}.self_attn.q_proj.weight"),
+                "k": t(f"{p}.self_attn.k_proj.weight"),
+                "v": t(f"{p}.self_attn.v_proj.weight"),
+                "o": t(f"{p}.self_attn.o_proj.weight"),
+                "q_norm": g(f"{p}.self_attn.q_norm.weight"),
+                "k_norm": g(f"{p}.self_attn.k_norm.weight"),
+            },
+        }
+        if cfg.num_experts and f"{p}.mlp.gate.weight" in sd:
+            E = cfg.num_experts
+            lp["mlp"] = {
+                "gate": t(f"{p}.mlp.gate.weight"),
+                "experts": {
+                    "gate": np.stack([t(f"{p}.mlp.experts.{e}.gate_proj.weight") for e in range(E)]),
+                    "up": np.stack([t(f"{p}.mlp.experts.{e}.up_proj.weight") for e in range(E)]),
+                    "down": np.stack([t(f"{p}.mlp.experts.{e}.down_proj.weight") for e in range(E)]),
+                },
+            }
+        else:
+            lp["mlp"] = {
+                "gate": t(f"{p}.mlp.gate_proj.weight"),
+                "up": t(f"{p}.mlp.up_proj.weight"),
+                "down": t(f"{p}.mlp.down_proj.weight"),
+            }
+        layers.append(lp)
+    params = {
+        "embed": g("model.embed_tokens.weight"),
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs), *layers),
+        "norm": g("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = t("lm_head.weight")
+    return jax.tree_util.tree_map(jnp.asarray, params)

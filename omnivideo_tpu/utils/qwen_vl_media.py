@@ -1,0 +1,151 @@
+"""Qwen-VL media preprocessing utilities.
+
+Role of reference `omnivideo/utils/qwen_vl_utils.py` (smart_resize pixel
+budgeting :53, smart_nframes frame sampling :132, video readers :176-343,
+process_vision_info) — re-implemented with the codec-less readers of
+utils/video.py (decord is not available on this image).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+IMAGE_FACTOR = 28
+MIN_PIXELS = 4 * 28 * 28
+MAX_PIXELS = 16384 * 28 * 28
+MAX_RATIO = 200
+
+VIDEO_MIN_PIXELS = 128 * 28 * 28
+VIDEO_MAX_PIXELS = 768 * 28 * 28
+VIDEO_TOTAL_PIXELS = 24576 * 28 * 28
+FRAME_FACTOR = 2
+FPS = 2.0
+FPS_MIN_FRAMES = 4
+FPS_MAX_FRAMES = 768
+
+
+def round_by_factor(number: float, factor: int) -> int:
+    return round(number / factor) * factor
+
+
+def ceil_by_factor(number: float, factor: int) -> int:
+    return math.ceil(number / factor) * factor
+
+
+def floor_by_factor(number: float, factor: int) -> int:
+    return math.floor(number / factor) * factor
+
+
+def smart_resize(
+    height: int,
+    width: int,
+    factor: int = IMAGE_FACTOR,
+    min_pixels: int = MIN_PIXELS,
+    max_pixels: int = MAX_PIXELS,
+) -> Tuple[int, int]:
+    """Pixel-budgeted, factor-aligned resize (qwen_vl_utils.py:53-81)."""
+    if max(height, width) / min(height, width) > MAX_RATIO:
+        raise ValueError(
+            f"absolute aspect ratio must be smaller than {MAX_RATIO}, got "
+            f"{max(height, width) / min(height, width)}"
+        )
+    h_bar = max(factor, round_by_factor(height, factor))
+    w_bar = max(factor, round_by_factor(width, factor))
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = floor_by_factor(height / beta, factor)
+        w_bar = floor_by_factor(width / beta, factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = ceil_by_factor(height * beta, factor)
+        w_bar = ceil_by_factor(width * beta, factor)
+    return h_bar, w_bar
+
+
+def smart_nframes(ele: Dict, total_frames: int, video_fps: float) -> int:
+    """Frame-count selection for VLM video input (qwen_vl_utils.py:132-174)."""
+    assert not ("fps" in ele and "nframes" in ele), "Only accept `fps` or `nframes`"
+    if "nframes" in ele:
+        nframes = round_by_factor(ele["nframes"], FRAME_FACTOR)
+    else:
+        fps = ele.get("fps", FPS)
+        min_frames = ceil_by_factor(ele.get("min_frames", FPS_MIN_FRAMES), FRAME_FACTOR)
+        max_frames = floor_by_factor(
+            ele.get("max_frames", min(FPS_MAX_FRAMES, total_frames)), FRAME_FACTOR
+        )
+        nframes = total_frames / video_fps * fps
+        nframes = min(max(nframes, min_frames), max_frames)
+        nframes = round_by_factor(nframes, FRAME_FACTOR)
+    if not (FRAME_FACTOR <= nframes <= total_frames):
+        raise ValueError(
+            f"nframes should be in [{FRAME_FACTOR}, {total_frames}], got {nframes}"
+        )
+    return int(nframes)
+
+
+def fetch_video(ele: Dict) -> Tuple[np.ndarray, float]:
+    """Read + sample + resize a video for VLM input.
+
+    Returns ([T, H, W, 3] uint8, sample_fps). Reader backends per
+    utils/video.read_video_frames (npz/gif/png-dir/mp4-if-backend).
+    """
+    from .video import read_video_frames
+
+    frames, video_fps = read_video_frames(ele["video"])
+    total = len(frames)
+    nframes = smart_nframes(ele, total, video_fps)
+    idx = np.linspace(0, total - 1, nframes).round().astype(int)
+    sel = frames[idx]
+
+    h, w = sel.shape[1:3]
+    min_pixels = ele.get("min_pixels", VIDEO_MIN_PIXELS)
+    total_pixels = ele.get("total_pixels", VIDEO_TOTAL_PIXELS)
+    max_pixels = max(
+        min(VIDEO_MAX_PIXELS, int(total_pixels / nframes * FRAME_FACTOR)),
+        int(min_pixels * 1.05),
+    )
+    rh, rw = smart_resize(
+        h, w, factor=IMAGE_FACTOR, min_pixels=min_pixels, max_pixels=max_pixels
+    )
+    if (rh, rw) != (h, w):
+        from PIL import Image
+
+        sel = np.stack(
+            [
+                np.asarray(Image.fromarray(fr).resize((rw, rh), Image.BICUBIC))
+                for fr in sel
+            ]
+        )
+    sample_fps = nframes / max(total / video_fps, 1e-6)
+    return sel, sample_fps
+
+
+def process_vision_info(messages: List[Dict]):
+    """Extract (images, videos) from chat messages (qwen_vl_utils.py:343)."""
+    images, videos = [], []
+    for msg in messages:
+        content = msg.get("content", [])
+        if isinstance(content, str):
+            continue
+        for ele in content:
+            if "image" in ele or "image_url" in ele:
+                from PIL import Image
+
+                src = ele.get("image", ele.get("image_url"))
+                img = src if isinstance(src, Image.Image) else Image.open(
+                    src[7:] if str(src).startswith("file://") else src
+                )
+                img = img.convert("RGB")
+                w, h = img.size
+                rh, rw = smart_resize(
+                    h, w,
+                    min_pixels=ele.get("min_pixels", MIN_PIXELS),
+                    max_pixels=ele.get("max_pixels", MAX_PIXELS),
+                )
+                images.append(img.resize((rw, rh)))
+            elif "video" in ele:
+                videos.append(fetch_video(ele)[0])
+    return images or None, videos or None

@@ -1,0 +1,92 @@
+"""JAX Qwen3 text decoder parity against HF transformers (dense and MoE)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from omnivideo_tpu.models.qwen3vl.text_model import (
+    Qwen3TextConfig,
+    hf_to_params,
+    qwen3_forward,
+    qwen3_greedy_decode,
+)
+
+
+def _sd_np(m):
+    return {k: v.float().numpy() for k, v in m.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def dense():
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    hf_cfg = Qwen3Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=128, rope_theta=10000.0, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = Qwen3TextConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16, rope_theta=10000.0,
+    )
+    return m, cfg
+
+
+def test_dense_forward_parity(dense):
+    m, cfg = dense
+    params = hf_to_params(_sd_np(m), cfg)
+    ids = torch.randint(0, 96, (1, 12), generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        out = m(ids, output_hidden_states=True)
+    hidden, logits = qwen3_forward(params, cfg, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(logits), out.logits.numpy(), rtol=2e-3, atol=2e-3
+    )
+    # hidden_states[-1] is the POST-final-norm hidden in qwen3
+    np.testing.assert_allclose(
+        np.asarray(hidden), out.hidden_states[-1].numpy(), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_dense_greedy_decode_parity(dense):
+    m, cfg = dense
+    params = hf_to_params(_sd_np(m), cfg)
+    ids = torch.randint(0, 96, (1, 8), generator=torch.Generator().manual_seed(2))
+    with torch.no_grad():
+        hf_out = m.generate(ids, max_new_tokens=6, do_sample=False)
+    ours = qwen3_greedy_decode(params, cfg, jnp.asarray(ids.numpy()), 6)
+    np.testing.assert_array_equal(np.asarray(ours)[0], hf_out[0, 8:].numpy())
+
+
+def test_moe_forward_parity():
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        decoder_sparse_step=1, rope_theta=10000.0, norm_topk_prob=True,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    m = Qwen3MoeForCausalLM(hf_cfg).eval()
+    cfg = Qwen3TextConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16, rope_theta=10000.0,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        norm_topk_prob=True,
+    )
+    params = hf_to_params(_sd_np(m), cfg)
+    ids = torch.randint(0, 96, (1, 10), generator=torch.Generator().manual_seed(4))
+    with torch.no_grad():
+        out = m(ids)
+    _, logits = qwen3_forward(params, cfg, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(logits), out.logits.numpy(), rtol=3e-3, atol=3e-3
+    )
