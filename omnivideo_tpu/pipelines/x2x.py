@@ -68,6 +68,7 @@ class OmniVideoX2XUnified:
         special_tokens: Optional[Dict[str, jnp.ndarray]] = None,
         text_encoder=None,  # optional callable: list[str] -> list[[L, text_dim]]
         attn_impl: str = "auto",
+        sp=None,  # models.wan_dit.SPConfig for sequence-parallel denoising
     ):
         self.config = config
         self.low_noise = low_noise
@@ -76,6 +77,7 @@ class OmniVideoX2XUnified:
         self.special_tokens = special_tokens
         self.text_encoder = text_encoder
         self.attn_impl = attn_impl
+        self.sp = sp
         self.num_train_timesteps = config.num_train_timesteps
         self.boundary = config.boundary
         # DiT context budget = max_context_len (unified_model.py:73-75)
@@ -144,12 +146,13 @@ class OmniVideoX2XUnified:
 
     def _denoise_segment_fn(self, solver_cls, seg_len: int, seq_len: int):
         """Build (and cache) the jitted per-expert scan."""
-        key = (solver_cls, seg_len, seq_len, self.attn_impl)
+        key = (solver_cls, seg_len, seq_len, self.attn_impl, self.sp)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
         cfg = self.dit_cfg
         attn_impl = self.attn_impl
+        sp = self.sp
         scan_step = solver_cls.scan_step
         pdtype = self.config.jnp_param_dtype
 
@@ -169,6 +172,7 @@ class OmniVideoX2XUnified:
                     seq_len=seq_len,
                     context_embedded=True,
                     attn_impl=attn_impl,
+                    sp=sp,
                 )
                 # CFG: uncond + g·(cond − uncond) (x2x_gen_unified.py:484)
                 v = v2[1:] + guide_scale * (v2[0:1] - v2[1:])  # keep [1,...]
@@ -207,8 +211,12 @@ class OmniVideoX2XUnified:
         cfg = self.config
         target_shape = self._latent_shape(size, frame_num)
         pt, ph, pw = cfg.dit.patch_size
-        seq_len = math.ceil(
-            (target_shape[2] * target_shape[3]) / (ph * pw) * target_shape[1]
+        sp_size = self.sp.sp_size if self.sp is not None else 1
+        seq_len = (
+            math.ceil(
+                (target_shape[2] * target_shape[3]) / (ph * pw) * target_shape[1] / sp_size
+            )
+            * sp_size
         )
 
         if n_prompt == "":

@@ -50,6 +50,8 @@ def parse_args():
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
     p.add_argument("--ckpt_dir", default=None, help="init weights from checkpoint")
+    p.add_argument("--walltime", type=float, default=None,
+                   help="seconds; stop+checkpoint before this walltime")
     p.add_argument("--dummy_data", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None)
@@ -83,6 +85,11 @@ def main():
         init_train_state,
         make_optimizer,
         make_unified_train_step,
+    )
+    from omnivideo_tpu.utils.observability import (
+        MetricsLogger,
+        PreemptionGuard,
+        TimeoutGuard,
     )
 
     cfg = WAN_CONFIGS[args.task]
@@ -174,14 +181,18 @@ def main():
     }
     weights = {name: w for name, (_, w) in tasks.items()}
 
-    metrics_path = Path(args.output_dir) / "metrics.jsonl"
-    metrics_path.parent.mkdir(parents=True, exist_ok=True)
-    mf = open(metrics_path, "a")
+    metrics = MetricsLogger(args.output_dir)
+    preempt = PreemptionGuard()
+    timeout = TimeoutGuard(args.walltime)
 
     rng = jax.random.PRNGKey(args.seed + 1)
     step = int(state.step)
     t0 = time.time()
     while step < args.total_steps:
+        if preempt.should_stop() or timeout.should_stop():
+            ckpt.save(step, state, {"step": step, "preempted": True})
+            logging.warning("preemption/walltime stop at step %d (checkpointed)", step)
+            return
         # round-robin: every task contributes each step, weighted loss
         # (reference all-tasks-per-step loop, finetune_model.py:745-847)
         losses = {}
@@ -192,10 +203,8 @@ def main():
             losses[name] = float(m["loss"]) * weights[name]
         step = int(state.step)
         if step % args.log_interval == 0 or step == args.total_steps:
-            rec = {"step": step, "time": round(time.time() - t0, 2), **{f"loss/{k}": round(v, 5) for k, v in losses.items()}}
-            mf.write(json.dumps(rec) + "\n")
-            mf.flush()
-            logging.info("%s", rec)
+            metrics.log(step, **{f"loss/{k}": v for k, v in losses.items()})
+            logging.info("step %d (%.1fs) %s", step, time.time() - t0, losses)
         if step % args.save_interval == 0 or step == args.total_steps:
             ckpt.save(step, state, {"step": step})
             logging.info("saved checkpoint at step %d", step)
