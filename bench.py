@@ -80,6 +80,23 @@ def main():
         v = float(fwd(params, x, t, ctx))
     dit_step_s = (time.perf_counter() - t0) / n_iter
 
+    # VAE decode throughput (BASELINE.json: "VAE decode fps on v5e-8")
+    vae_fps = None
+    if on_tpu:
+        try:
+            vae_params = init_vae(jax.random.PRNGKey(3), cfg.vae)
+            z = jax.random.normal(jax.random.PRNGKey(4), (1, 16, frames_lat, lh, lw), jnp.float32)
+            fd = jax.jit(
+                lambda p, z: jnp.sum(vae_decode(p, cfg.vae, z, dtype=jnp.float32))
+            )
+            float(fd(vae_params, z))  # compile
+            t0 = time.perf_counter()
+            float(fd(vae_params, z))
+            n_frames = (frames_lat - 1) * 4 + 1
+            vae_fps = n_frames / (time.perf_counter() - t0)
+        except Exception as e:  # pragma: no cover
+            print(f"# vae bench failed: {e}", file=sys.stderr)
+
     pt, ph, pw = dit_cfg.patch_size
     seq_len = frames_lat * (lh // ph) * (lw // pw)
     flops = _dit_flops(dit_cfg, seq_len, cfg.max_context_len, 2)
@@ -99,6 +116,7 @@ def main():
             "dit_tflops_per_step": round(flops / 1e12, 2),
             "mxu_utilization": round(mxu_util, 4),
             "sec_per_video_dit_40steps": round(sec_video_dit, 2),
+            "vae_decode_fps_480p": round(vae_fps, 1) if vae_fps else None,
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,77 @@
+"""Utils tests: video IO roundtrip, metrics, misc, media budgeting."""
+
+import numpy as np
+import pytest
+
+from omnivideo_tpu.utils.metrics import (
+    evaluate_pair,
+    motion_magnitude,
+    psnr,
+    ssim,
+    temporal_consistency,
+)
+from omnivideo_tpu.utils.misc import best_output_size, masks_like, str2bool
+from omnivideo_tpu.utils.qwen_vl_media import smart_nframes, smart_resize
+from omnivideo_tpu.utils.video import (
+    read_video_frames,
+    sample_and_transform_frames,
+    save_video,
+)
+
+
+def test_video_roundtrip_npz(tmp_path):
+    v = np.random.default_rng(0).uniform(-1, 1, (3, 5, 16, 16)).astype(np.float32)
+    out = save_video(str(tmp_path / "clip.npz"), v, fps=8)
+    frames, fps = read_video_frames(out)
+    assert frames.shape == (5, 16, 16, 3) and fps == 8
+
+
+def test_video_gif_fallback(tmp_path):
+    # varying frames (PIL's GIF writer collapses identical frames)
+    v = np.linspace(-1, 1, 3 * 4 * 8 * 8, dtype=np.float32).reshape(3, 4, 8, 8)
+    out = save_video(str(tmp_path / "clip.mp4"), v, fps=8)
+    # codec-less env falls back to gif (or writes mp4 if a backend exists)
+    assert out.endswith((".gif", ".mp4"))
+    frames, _ = read_video_frames(out)
+    assert frames.shape[0] == 4
+
+
+def test_sample_and_transform():
+    frames = np.random.default_rng(1).integers(0, 255, (20, 32, 48, 3), np.uint8)
+    clip = sample_and_transform_frames(frames, 9, (24, 16), src_fps=16, target_fps=8)
+    assert clip.shape == (3, 9, 16, 24)
+    assert clip.min() >= -1.0 and clip.max() <= 1.0
+
+
+def test_metrics_identity_and_noise():
+    rng = np.random.default_rng(2)
+    v = rng.integers(0, 255, (6, 32, 32, 3), np.uint8)
+    m = evaluate_pair(v, v)
+    assert m["psnr"] == float("inf") and m["ssim"] > 0.999
+    noisy = np.clip(v.astype(int) + rng.integers(-40, 40, v.shape), 0, 255).astype(np.uint8)
+    assert psnr(v, noisy) < 30 and ssim(v, noisy) < 0.99
+    frozen = np.repeat(v[:1], 6, axis=0)
+    assert motion_magnitude(frozen) == 0.0
+    assert temporal_consistency(frozen) > 0.999
+
+
+def test_misc():
+    assert str2bool("yes") and not str2bool("0")
+    m = masks_like((4, 3, 8, 8), zero_first_frame=True)
+    assert float(m[:, 0].max()) == 0.0 and float(m[:, 1].min()) == 1.0
+    w, h = best_output_size(1920, 1080, 16, 16, 480 * 832)
+    assert w % 16 == 0 and h % 16 == 0
+    assert abs((w / h) - (1920 / 1080)) < 0.3
+
+
+def test_smart_resize_budget():
+    h, w = smart_resize(480, 832, factor=28, min_pixels=128 * 28 * 28,
+                        max_pixels=768 * 28 * 28)
+    assert h % 28 == 0 and w % 28 == 0
+    assert 128 * 28 * 28 <= h * w <= 768 * 28 * 28 * 1.1
+
+
+def test_smart_nframes():
+    assert smart_nframes({"nframes": 6}, total_frames=100, video_fps=30) == 6
+    n = smart_nframes({"fps": 2}, total_frames=120, video_fps=30)
+    assert n % 2 == 0 and 4 <= n <= 120

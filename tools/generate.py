@@ -43,6 +43,12 @@ def parse_args():
     p.add_argument("--dp_world_size", type=int, default=None)
     p.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--fps", type=int, default=None)
+    # VLM caption-expansion stage (reference generate_omni_v2v.py:641-729)
+    p.add_argument("--vlm_path", default=None,
+                   help="Qwen3-VL checkpoint; enables caption expansion + feature extraction")
+    p.add_argument("--vlm_backend", default="hf", choices=["hf", "jax"])
+    p.add_argument("--features_dir", default=None,
+                   help="precomputed VLM feature .npz dir (offline escape hatch)")
     # smoke / dev
     p.add_argument("--random_weights", action="store_true",
                    help="random-init params (no checkpoint load)")
@@ -96,6 +102,12 @@ def main():
 
         pipe = load_pipeline(cfg, args.ckpt_dir, attn_impl=args.attn_impl)
 
+    vlm = None
+    if args.vlm_path:
+        from omnivideo_tpu.models.qwen3vl.engine import Qwen3VLEngine, VLMConfig
+
+        vlm = Qwen3VLEngine(VLMConfig(model_path=args.vlm_path, backend=args.vlm_backend))
+
     # data-parallel JSONL sharding (reference generate_omni_v2v.py:573-574)
     dp_rank = args.dp_rank if args.dp_rank is not None else jax.process_index()
     dp_ws = args.dp_world_size if args.dp_world_size is not None else jax.process_count()
@@ -125,6 +137,28 @@ def main():
             lat_f = (frame_num - 1) // cfg.vae.vae_stride[0] + 1
             visual_emb = visual_emb[:, :lat_f]
 
+        ar_vision = None
+        if vlm is not None:
+            # online VLM stage: source caption -> target caption -> features
+            # (reference generate_omni_v2v.py:641-710); then T5 re-encodes
+            # [target_caption ; edit_prompt] as the text context (:712-729)
+            feats = vlm.generate_caption_and_extract_features(
+                row.get("source_clip_path"), prompt
+            )
+            ar_vision = jnp.asarray(feats["vlm_last_hidden_states"])
+            prompt = (feats["target_caption"] + " " + prompt).strip()
+            logging.info("sample %s target caption: %.120s", sample_id,
+                         feats["target_caption"])
+        elif args.features_dir:
+            f = Path(args.features_dir) / f"sample_{sample_id}.npz"
+            if f.exists():
+                data = np.load(f, allow_pickle=True)
+                if "vlm_last_hidden_states" in data:
+                    v = np.asarray(data["vlm_last_hidden_states"], np.float32)
+                    ar_vision = jnp.asarray(v[0] if v.ndim == 3 else v)
+                if "target_caption" in data:
+                    prompt = (str(data["target_caption"]) + " " + prompt).strip()
+
         if args.random_weights:
             # smoke path: deterministic pseudo-context instead of T5/VLM
             ctx = jnp.asarray(
@@ -133,9 +167,10 @@ def main():
                 .astype(np.float32)
             )
             kw = dict(precomputed_context=ctx,
-                      precomputed_context_null=jnp.zeros_like(ctx))
+                      precomputed_context_null=jnp.zeros_like(ctx),
+                      ar_vision_input=ar_vision)
         else:
-            kw = dict(input_prompt=prompt)
+            kw = dict(input_prompt=prompt, ar_vision_input=ar_vision)
 
         t0 = time.time()
         video = pipe.generate(
