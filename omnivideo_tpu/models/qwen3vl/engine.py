@@ -10,8 +10,11 @@ Backends:
 - "hf":   transformers AutoModelForImageTextToText on host (CPU here; GPU/TPU
           via torch-xla elsewhere). Functional parity path; works with real
           Qwen3-VL checkpoints and with tiny random configs in tests.
-- "jax":  JAX prefill+decode engine (models/qwen3vl/model.py) — the TPU-native
-          target; text decoder implemented, vision tower staged next round.
+- "jax":  TPU-native forward: vision tower + interleaved-MRoPE text decoder +
+          deepstack injection (full_model.py, HF-parity-tested) runs in JAX;
+          the HF stack remains for host-side preprocessing (tokenizer, chat
+          template, video processor) and caption decoding (MRoPE KV-cache
+          greedy decode is the remaining JAX piece).
 
 The pipeline's `precomputed_context` / offline-feature path
 (x2x_gen_unified.py:353-354) remains the escape hatch: the DiT never requires
@@ -81,11 +84,13 @@ class Qwen3VLEngine:
         if cfg.backend == "hf":
             self._init_hf()
         elif cfg.backend == "jax":
-            raise NotImplementedError(
-                "JAX Qwen3-VL backend: text decoder available in "
-                "models/qwen3vl/model.py; full multimodal engine lands next "
-                "round — use backend='hf' or precomputed features meanwhile"
-            )
+            # JAX forward for feature extraction (vision tower + MRoPE text +
+            # deepstack, parity-tested vs HF); the HF stack is kept for
+            # host-side preprocessing (tokenizer/chat template/video
+            # processor) and for caption generation (MRoPE KV-cache decode is
+            # the remaining JAX piece).
+            self._init_hf()
+            self._init_jax_params()
         else:
             raise ValueError(cfg.backend)
 
@@ -143,6 +148,73 @@ class Qwen3VLEngine:
             trimmed, skip_special_tokens=True, clean_up_tokenization_spaces=False
         )[0]
         return text.strip()
+
+    def _init_jax_params(self):
+        import jax.numpy as jnp
+
+        from .full_model import Qwen3VLConfig, qwen3vl_hf_to_params
+        from .text_model import Qwen3TextConfig
+        from .vision_model import Qwen3VLVisionConfig as JVis
+
+        hf_cfg = self.model.config
+        tc, vc = hf_cfg.text_config, hf_cfg.vision_config
+        rope_scaling = getattr(tc, "rope_scaling", None) or {}
+        self.jax_cfg = Qwen3VLConfig(
+            text=Qwen3TextConfig(
+                vocab_size=tc.vocab_size,
+                hidden_size=tc.hidden_size,
+                intermediate_size=tc.intermediate_size,
+                num_hidden_layers=tc.num_hidden_layers,
+                num_attention_heads=tc.num_attention_heads,
+                num_key_value_heads=tc.num_key_value_heads,
+                head_dim=getattr(tc, "head_dim", tc.hidden_size // tc.num_attention_heads),
+                rope_theta=tc.rope_theta,
+                rms_norm_eps=tc.rms_norm_eps,
+                num_experts=getattr(tc, "num_experts", None),
+                num_experts_per_tok=getattr(tc, "num_experts_per_tok", 8),
+                moe_intermediate_size=getattr(tc, "moe_intermediate_size", 768),
+                norm_topk_prob=getattr(tc, "norm_topk_prob", True),
+            ),
+            vision=JVis(
+                hidden_size=vc.hidden_size,
+                intermediate_size=vc.intermediate_size,
+                depth=vc.depth,
+                num_heads=vc.num_heads,
+                in_channels=vc.in_channels,
+                patch_size=vc.patch_size,
+                temporal_patch_size=vc.temporal_patch_size,
+                spatial_merge_size=vc.spatial_merge_size,
+                out_hidden_size=vc.out_hidden_size,
+                num_position_embeddings=vc.num_position_embeddings,
+                deepstack_visual_indexes=tuple(vc.deepstack_visual_indexes),
+            ),
+            mrope_section=tuple(rope_scaling.get("mrope_section", (24, 20, 20))),
+            video_token_id=hf_cfg.video_token_id,
+            image_token_id=hf_cfg.image_token_id,
+            vision_start_token_id=hf_cfg.vision_start_token_id,
+        )
+        sd = {k: v.float().numpy() for k, v in self.model.state_dict().items()}
+        self.jax_params = qwen3vl_hf_to_params(sd, self.jax_cfg)
+
+    def _extract_hidden_jax(self, inputs) -> np.ndarray:
+        """Run the multimodal forward in JAX; returns [1, L, D] numpy."""
+        import jax.numpy as jnp
+
+        from .full_model import qwen3vl_forward
+
+        ids = inputs["input_ids"].numpy()
+        pixel = inputs.get("pixel_values_videos", inputs.get("pixel_values"))
+        grid_key = "video_grid_thw" if "video_grid_thw" in inputs else "image_grid_thw"
+        if pixel is not None:
+            grid = tuple(int(v) for v in inputs[grid_key][0])
+            hidden = qwen3vl_forward(
+                self.jax_params, self.jax_cfg, ids,
+                jnp.asarray(pixel.float().numpy()), grid,
+                is_video=grid_key.startswith("video"),
+            )
+        else:
+            hidden = qwen3vl_forward(self.jax_params, self.jax_cfg, ids)
+        return np.asarray(hidden, np.float32)
 
     # -- public flows (mirror vllm_model.py) --------------------------------
 
@@ -212,9 +284,12 @@ class Qwen3VLEngine:
             {"role": "user", "content": user_content},
         ]
         inputs = self._run_template(messages, feature_extraction=True)
-        with torch.no_grad():
-            outputs = self.model(**inputs, output_hidden_states=True, return_dict=True)
-        hidden = outputs.hidden_states[-1].float().numpy()
+        if self.cfg.backend == "jax":
+            hidden = self._extract_hidden_jax(inputs)
+        else:
+            with torch.no_grad():
+                outputs = self.model(**inputs, output_hidden_states=True, return_dict=True)
+            hidden = outputs.hidden_states[-1].float().numpy()
         mask = (
             inputs["attention_mask"].numpy()
             if "attention_mask" in inputs
