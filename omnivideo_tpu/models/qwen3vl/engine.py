@@ -10,11 +10,12 @@ Backends:
 - "hf":   transformers AutoModelForImageTextToText on host (CPU here; GPU/TPU
           via torch-xla elsewhere). Functional parity path; works with real
           Qwen3-VL checkpoints and with tiny random configs in tests.
-- "jax":  TPU-native forward: vision tower + interleaved-MRoPE text decoder +
-          deepstack injection (full_model.py, HF-parity-tested) runs in JAX;
-          the HF stack remains for host-side preprocessing (tokenizer, chat
-          template, video processor) and caption decoding (MRoPE KV-cache
-          greedy decode is the remaining JAX piece).
+- "jax":  TPU-native compute: vision tower + interleaved-MRoPE text decoder +
+          deepstack injection (full_model.py, HF-parity-tested) run in JAX for
+          BOTH flows — feature extraction (qwen3vl_forward) and greedy caption
+          decoding (qwen3vl_greedy_decode, token-exact vs HF). The HF stack
+          remains only for host-side preprocessing (tokenizer, chat template,
+          video processor).
 
 The pipeline's `precomputed_context` / offline-feature path
 (x2x_gen_unified.py:353-354) remains the escape hatch: the DiT never requires
@@ -137,13 +138,34 @@ class Qwen3VLEngine:
     def _generate(self, messages) -> str:
         torch = self._torch
         inputs = self._run_template(messages)
-        with torch.no_grad():
-            gen = self.model.generate(
-                **inputs,
-                max_new_tokens=self.cfg.max_new_tokens,
-                do_sample=self.cfg.temperature > 0,
+        if self.cfg.backend == "jax" and self.cfg.temperature == 0:
+            import jax.numpy as jnp
+
+            from .full_model import qwen3vl_greedy_decode
+
+            pixel = inputs.get("pixel_values_videos", inputs.get("pixel_values"))
+            gk = "video_grid_thw" if "video_grid_thw" in inputs else "image_grid_thw"
+            grid = tuple(int(v) for v in inputs[gk][0]) if pixel is not None else None
+            eos = self.model.config.text_config.eos_token_id or getattr(
+                self.model.generation_config, "eos_token_id", None
             )
-        trimmed = gen[:, inputs["input_ids"].shape[1]:]
+            if isinstance(eos, (list, tuple)):
+                eos = eos[0]
+            toks = qwen3vl_greedy_decode(
+                self.jax_params, self.jax_cfg, inputs["input_ids"].numpy(),
+                jnp.asarray(pixel.float().numpy()) if pixel is not None else None,
+                grid, max_new_tokens=self.cfg.max_new_tokens, eos_token_id=eos,
+                is_video=gk.startswith("video") if pixel is not None else True,
+            )
+            trimmed = torch.from_numpy(np.asarray(toks))[None]
+        else:
+            with torch.no_grad():
+                gen = self.model.generate(
+                    **inputs,
+                    max_new_tokens=self.cfg.max_new_tokens,
+                    do_sample=self.cfg.temperature > 0,
+                )
+            trimmed = gen[:, inputs["input_ids"].shape[1]:]
         text = self.processor.batch_decode(
             trimmed, skip_special_tokens=True, clean_up_tokenization_spaces=False
         )[0]

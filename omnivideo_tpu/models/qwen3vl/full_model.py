@@ -12,9 +12,11 @@ Qwen3-VL's multimodal mechanics (HF Qwen3VLModel):
 - "deepstack": intermediate vision features added to the hidden states at
   visual positions after each of the first K text layers.
 
-This powers `extract_features` (vllm_model.py:313-413 — last_hidden_state
-conditioning) fully TPU-native; greedy caption decoding reuses
-text_model.qwen3_greedy_decode machinery (round-2: mrope KV-cache decode).
+This powers both VLM flows fully TPU-native: `extract_features`
+(vllm_model.py:313-413 — last_hidden_state conditioning) via qwen3vl_forward,
+and captioning via qwen3vl_greedy_decode (static KV cache in lax.scan;
+decode-step MRoPE degenerates to standard RoPE since positions advance
+uniformly). Both are token-/value-exact against HF.
 """
 
 from __future__ import annotations
@@ -221,3 +223,138 @@ def qwen3vl_hf_to_params(sd, cfg: Qwen3VLConfig):
         "vision": vision_hf_to_params(vis_sd, cfg.vision),
         "text": hf_to_params(txt_sd, cfg.text),
     }
+
+
+# ---------------------------------------------------------------------------
+# multimodal greedy decoding (captioning path)
+# ---------------------------------------------------------------------------
+
+
+def qwen3vl_greedy_decode(
+    params,
+    cfg: Qwen3VLConfig,
+    input_ids: np.ndarray,
+    pixel_patches: Optional[jnp.ndarray] = None,
+    grid_thw: Optional[Tuple[int, int, int]] = None,
+    max_new_tokens: int = 128,
+    eos_token_id: Optional[int] = None,
+    is_video: bool = True,
+) -> np.ndarray:
+    """Greedy caption decoding with a static KV cache (role of HF
+    model.generate in vllm_model.py:189-203).
+
+    Prefill runs the full multimodal forward caching post-RoPE K/V; decode
+    positions advance uniformly on (t, h, w), for which interleaved MRoPE
+    degenerates to standard RoPE — each step is one cached-attention layer
+    pass inside lax.scan. Returns [max_new_tokens] (eos-padded after stop).
+    """
+    tcfg = cfg.text
+    ids = np.asarray(input_ids)
+    B, Lp = ids.shape
+    assert B == 1
+    N, K, hd = tcfg.num_attention_heads, tcfg.num_key_value_heads, tcfg.head_dim
+    nl = tcfg.num_hidden_layers
+    max_len = Lp + max_new_tokens
+
+    # ---- prefill (mirrors qwen3vl_forward, additionally caching K/V) ------
+    x = params["text"]["embed"][jnp.asarray(ids)]
+    visual_mask = None
+    deepstack: List[jnp.ndarray] = []
+    if pixel_patches is not None:
+        tokens, deepstack = vision_forward(params["vision"], cfg.vision, pixel_patches, grid_thw)
+        tok_id = cfg.video_token_id if is_video else cfg.image_token_id
+        visual_mask = ids[0] == tok_id
+        idx = jnp.asarray(np.nonzero(visual_mask)[0])
+        x = x.at[0, idx].set(tokens.astype(x.dtype))
+        pos = get_rope_index(ids, np.array([list(grid_thw)]), cfg, is_video)
+    else:
+        pos = get_rope_index(ids, None, cfg)
+    cos_np, sin_np = _mrope_cos_sin(pos, cfg)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+    causal = jnp.tril(jnp.ones((Lp, Lp), bool))[None, None]
+    bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
+
+    k_cache = jnp.zeros((nl, B, max_len, K, hd), jnp.float32)
+    v_cache = jnp.zeros_like(k_cache)
+
+    for i in range(nl):
+        lp = jax.tree_util.tree_map(lambda a: a[i], params["text"]["layers"])
+        # replicate _text_layer_mrope but capture k/v
+        hn = _rms(x, lp["ln1"], tcfg.rms_norm_eps)
+        q = (hn @ lp["attn"]["q"]).reshape(B, Lp, N, hd)
+        k = (hn @ lp["attn"]["k"]).reshape(B, Lp, K, hd)
+        v = (hn @ lp["attn"]["v"]).reshape(B, Lp, K, hd)
+        q = _rms(q, lp["attn"]["q_norm"], tcfg.rms_norm_eps)
+        k = _rms(k, lp["attn"]["k_norm"], tcfg.rms_norm_eps)
+        c, s = cos[None, :, None, :], sin[None, :, None, :]
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        q = (qf * c + _rotate_half(qf) * s).astype(x.dtype)
+        k = (kf * c + _rotate_half(kf) * s).astype(x.dtype)
+        k_cache = k_cache.at[i, :, :Lp].set(k.astype(jnp.float32))
+        v_cache = v_cache.at[i, :, :Lp].set(v.astype(jnp.float32))
+        kr = jnp.repeat(k, N // K, axis=2)
+        vr = jnp.repeat(v, N // K, axis=2)
+        logits = jnp.einsum("bind,bjnd->bnij", q, kr, preferred_element_type=jnp.float32) * (hd**-0.5)
+        probs = jax.nn.softmax(logits + bias, axis=-1).astype(vr.dtype)
+        o = jnp.einsum("bnij,bjnd->bind", probs, vr, preferred_element_type=jnp.float32)
+        x = x + (o.astype(x.dtype).reshape(B, Lp, N * hd) @ lp["attn"]["o"])
+        hn = _rms(x, lp["ln2"], tcfg.rms_norm_eps)
+        x = x + (_moe(lp["mlp"], hn, tcfg) if "experts" in lp["mlp"] else _mlp(lp["mlp"], hn))
+        if visual_mask is not None and i < len(deepstack):
+            idx = jnp.asarray(np.nonzero(visual_mask)[0])
+            x = x.at[0, idx].add(deepstack[i].astype(x.dtype))
+
+    hidden = _rms(x[:, -1:], params["text"]["norm"], tcfg.rms_norm_eps)
+    head = params["text"].get("lm_head", params["text"]["embed"].T)
+    first_tok = jnp.argmax(hidden @ head, -1)[:, -1]
+
+    # decode positions: uniform (p, p, p) → standard 1D rope
+    start_pos = int(pos.max()) + 1
+    inv = 1.0 / (tcfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    inv = jnp.asarray(inv, jnp.float32)
+
+    def step(carry, i):
+        tok, length, kc, vc, done = carry
+        xx = params["text"]["embed"][tok[:, None]]
+        p = (start_pos + i).astype(jnp.float32)
+        ang = p * inv
+        c1 = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)])[None, None, None, :]
+        s1 = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)])[None, None, None, :]
+        valid = jnp.arange(max_len)[None, None, None, :] < (length + 1)
+        bias_d = jnp.where(valid, 0.0, -3.4e38).astype(jnp.float32)
+        for li in range(nl):
+            lp = jax.tree_util.tree_map(lambda a: a[li], params["text"]["layers"])
+            hn = _rms(xx, lp["ln1"], tcfg.rms_norm_eps)
+            q = (hn @ lp["attn"]["q"]).reshape(B, 1, N, hd)
+            k = (hn @ lp["attn"]["k"]).reshape(B, 1, K, hd)
+            v = (hn @ lp["attn"]["v"]).reshape(B, 1, K, hd)
+            q = _rms(q, lp["attn"]["q_norm"], tcfg.rms_norm_eps)
+            k = _rms(k, lp["attn"]["k_norm"], tcfg.rms_norm_eps)
+            qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+            q = (qf * c1 + _rotate_half(qf) * s1).astype(xx.dtype)
+            k = (kf * c1 + _rotate_half(kf) * s1).astype(xx.dtype)
+            k_all = jax.lax.dynamic_update_slice(kc[li], k.astype(jnp.float32), (0, length, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(vc[li], v.astype(jnp.float32), (0, length, 0, 0))
+            kc = kc.at[li].set(k_all)
+            vc = vc.at[li].set(v_all)
+            kr = jnp.repeat(k_all, N // K, axis=2).astype(q.dtype)
+            vr = jnp.repeat(v_all, N // K, axis=2).astype(q.dtype)
+            lo = jnp.einsum("bind,bjnd->bnij", q, kr, preferred_element_type=jnp.float32) * (hd**-0.5)
+            pr = jax.nn.softmax(lo + bias_d, axis=-1).astype(vr.dtype)
+            o = jnp.einsum("bnij,bjnd->bind", pr, vr, preferred_element_type=jnp.float32)
+            xx = xx + (o.astype(xx.dtype).reshape(B, 1, N * hd) @ lp["attn"]["o"])
+            hn = _rms(xx, lp["ln2"], tcfg.rms_norm_eps)
+            xx = xx + (_moe(lp["mlp"], hn, tcfg) if "experts" in lp["mlp"] else _mlp(lp["mlp"], hn))
+        hid = _rms(xx, params["text"]["norm"], tcfg.rms_norm_eps)
+        nxt = jnp.argmax(hid @ head, -1)[:, -1]
+        if eos_token_id is not None:
+            done_now = jnp.logical_or(done, tok[0] == eos_token_id)
+            nxt = jnp.where(done_now, jnp.full_like(nxt, eos_token_id), nxt)
+        else:
+            done_now = done
+        return (nxt, length + 1, kc, vc, done_now), tok
+
+    init = (first_tok, jnp.asarray(Lp, jnp.int32), k_cache, v_cache, jnp.asarray(False))
+    _, toks = jax.lax.scan(step, init, jnp.arange(max_new_tokens))
+    return np.asarray(toks.reshape(-1))

@@ -119,3 +119,22 @@ def test_text_only_parity(tiny):
     np.testing.assert_allclose(
         np.asarray(hidden), out.hidden_states[-1].numpy(), rtol=1e-3, atol=1e-3
     )
+
+
+def test_multimodal_greedy_decode_parity(tiny):
+    """JAX mrope KV-cache greedy decode == HF generate on a video prompt."""
+    from omnivideo_tpu.models.qwen3vl.full_model import qwen3vl_greedy_decode
+
+    m, cfg = tiny
+    input_ids, pixel, grid = _build_inputs(cfg, seed=3)
+    with torch.no_grad():
+        hf = m.generate(
+            input_ids=input_ids, pixel_values_videos=pixel, video_grid_thw=grid,
+            max_new_tokens=6, do_sample=False,
+        )
+    params = qwen3vl_hf_to_params({k: v.numpy() for k, v in m.state_dict().items()}, cfg)
+    ours = qwen3vl_greedy_decode(
+        params, cfg, input_ids.numpy(), jnp.asarray(pixel.numpy()), (2, 4, 4),
+        max_new_tokens=6,
+    )
+    np.testing.assert_array_equal(ours, hf[0, input_ids.shape[1]:].numpy())
