@@ -76,6 +76,7 @@ def build_mixed_context(
     context: Optional[jnp.ndarray] = None,
     ar_vision: Optional[jnp.ndarray] = None,
     visual_emb: Optional[jnp.ndarray] = None,
+    aligned_emb: Optional[jnp.ndarray] = None,
     special_tokens: Optional[Dict[str, jnp.ndarray]] = None,
     condition_mode: str = "full",
 ) -> jnp.ndarray:
@@ -85,9 +86,23 @@ def build_mixed_context(
     T5/VLM-encoded). Returns [max_context_len, text_dim]. Order and special-
     token sandwiching match unified_model.py:219-276.
     """
-    assert condition_mode in ("auto", "full", "text_only")
+    assert condition_mode in (
+        "auto", "full", "text_only",
+        # v1 condition modes (reference omni_video_unified_gen.py:25-143)
+        "aligned_emb_with_text", "aligned_emb_only", "visual_with_aligned_emb",
+    )
     td = cfg.dit.text_dim
     parts: List[jnp.ndarray] = []
+    if condition_mode == "aligned_emb_only":
+        context = None
+        ar_vision = None
+        visual_emb = None
+    elif condition_mode == "aligned_emb_with_text":
+        ar_vision = None
+        visual_emb = None
+    elif condition_mode == "visual_with_aligned_emb":
+        context = None
+        ar_vision = None
 
     def as2d(a):
         a = jnp.asarray(a)
@@ -110,16 +125,27 @@ def build_mixed_context(
             cfg.dit.eps,
         )[0]
 
+    aligned_item = as2d(aligned_emb) if aligned_emb is not None else None
+
     if special_tokens is not None:
         st = {k: as2d(v) for k, v in special_tokens.items()}
         if vlm_item is not None:
             parts.append(vlm_item)
+        if aligned_item is not None:
+            # v1: aligned embeddings sandwiched with <ipl_st>/<ipl_ed> when
+            # present (omni_video_model.py:337-377), else bare
+            if "<ipl_st>" in st:
+                parts.extend([st["<ipl_st>"], aligned_item, st["<ipl_ed>"]])
+            else:
+                parts.append(aligned_item)
         if context is not None:
             parts.extend([st["<prp_st>"], as2d(context), st["<prp_ed>"]])
         if visual_item is not None:
             parts.extend([st["<img_st>"], visual_item, st["<img_ed>"]])
     else:
-        parts = [p for p in (vlm_item, as2d(context) if context is not None else None, visual_item) if p is not None]
+        parts = [p for p in (vlm_item, aligned_item,
+                             as2d(context) if context is not None else None,
+                             visual_item) if p is not None]
 
     if not parts:
         parts = [jnp.zeros((1, td), jnp.float32)]

@@ -348,6 +348,7 @@ def wan_dit_apply(
     remat: bool = False,
     mesh=None,
     sp: Optional[SPConfig] = None,
+    y: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full DiT forward (reference model.py:417-524).
 
@@ -358,9 +359,13 @@ def wan_dit_apply(
         `context_embedded`); pad to the model's context budget beforehand.
       seq_len: pad video tokens to this length (for sp-divisibility); defaults
         to the natural token count.
+      y: optional conditional video input for image-to-video mode, channel-
+        concatenated with x (reference model.py:451-452; i2v in_dim doubles).
     Returns:
       [B, C_out, F, H, W] predicted velocity, f32.
     """
+    if y is not None:
+        x = jnp.concatenate([x, y], axis=1)
     B = x.shape[0]
     pt, ph, pw = cfg.patch_size
     grid = (x.shape[2] // pt, x.shape[3] // ph, x.shape[4] // pw)

@@ -192,6 +192,7 @@ class OmniVideoX2XUnified:
         precomputed_context_null: Optional[jnp.ndarray] = None,
         ar_vision_input: Optional[jnp.ndarray] = None,
         visual_emb: Optional[jnp.ndarray] = None,
+        aligned_emb: Optional[jnp.ndarray] = None,
         size: Tuple[int, int] = (1280, 720),
         frame_num: int = 81,
         shift: float = 5.0,
@@ -250,6 +251,7 @@ class OmniVideoX2XUnified:
                 context=ctx,
                 ar_vision=arv,
                 visual_emb=visual_emb,
+                aligned_emb=aligned_emb,
                 special_tokens=self.special_tokens,
                 condition_mode="full" if condition_mode == "auto" else condition_mode,
             )

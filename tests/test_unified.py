@@ -95,3 +95,44 @@ def test_mixed_context_text_only(golden):
     # no special tokens, no vlm/visual: just the context, padded
     np.testing.assert_allclose(np.asarray(mixed[:10]), np.asarray(ctx), rtol=1e-6)
     assert float(jnp.abs(mixed[10:]).max()) == 0.0
+
+
+def test_v1_condition_modes(golden):
+    """v1 condition modes (reference omni_video_unified_gen.py): aligned_emb
+    routing and exclusions."""
+    import jax
+
+    sd = {k[len("sd::"):]: golden[k] for k in golden.files if k.startswith("sd::")}
+    _, comp_sd = split_unified_state_dict(sd)
+    companions = to_jnp(unified_companions_to_params(comp_sd))
+    ctx = jnp.asarray(golden["ctx"])
+    aligned = jnp.ones((4, 48), jnp.float32) * 0.2
+
+    m_only = build_mixed_context(
+        companions, CFG, context=ctx, aligned_emb=aligned,
+        condition_mode="aligned_emb_only",
+    )
+    np.testing.assert_allclose(np.asarray(m_only[:4]), np.asarray(aligned))
+    assert float(jnp.abs(m_only[4:]).max()) == 0.0
+
+    m_wt = build_mixed_context(
+        companions, CFG, context=ctx, aligned_emb=aligned,
+        condition_mode="aligned_emb_with_text",
+    )
+    np.testing.assert_allclose(np.asarray(m_wt[:4]), np.asarray(aligned))
+    np.testing.assert_allclose(np.asarray(m_wt[4:14]), np.asarray(ctx))
+
+
+def test_i2v_y_conditioning():
+    """y channel-concat doubles in_dim (reference model.py:451-452)."""
+    import jax
+
+    from omnivideo_tpu.models.wan_dit import init_wan_dit, wan_dit_apply
+
+    cfg = CFG.dit.replace(in_dim=8)  # 4 latent + 4 conditional channels
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 3, 8, 8))
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 3, 8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 48))
+    out = wan_dit_apply(params, cfg, x, jnp.array([500.0]), ctx, y=y, attn_impl="xla")
+    assert out.shape == (1, 4, 3, 8, 8)
