@@ -7,6 +7,7 @@ from .unified import (
     null_ar_vision,
 )
 from .vae2_1 import Wan21VAE, init_vae, vae_decode, vae_encode
+from .vae2_2 import Wan22VAE, vae22_decode, vae22_encode
 from .visual_context_adapter import init_vca, vca_apply
 from .wan_dit import SPConfig, init_wan_dit, wan_dit_apply
 
@@ -15,6 +16,9 @@ __all__ = [
     "init_wan_dit",
     "wan_dit_apply",
     "Wan21VAE",
+    "Wan22VAE",
+    "vae22_encode",
+    "vae22_decode",
     "init_vae",
     "vae_encode",
     "vae_decode",
