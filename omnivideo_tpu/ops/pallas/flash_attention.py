@@ -39,6 +39,7 @@ def _fa_kernel(
     k_ref,  # VMEM [1, BK, D]
     v_ref,  # VMEM [1, BK, D]
     o_ref,  # VMEM [1, BQ, D]
+    lse_ref,  # VMEM [1, BQ, 128] f32 logsumexp (column-broadcast)
     m_scr,  # VMEM [BQ, 128] f32 running max
     l_scr,  # VMEM [BQ, 128] f32 running denom
     acc_scr,  # VMEM [BQ, D] f32 accumulator
@@ -92,6 +93,7 @@ def _fa_kernel(
         denom = l_scr[:, :1]
         denom = jnp.where(denom == 0.0, 1.0, denom)  # fully-masked rows → 0
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:, :] + jnp.log(jnp.maximum(l_scr[:, :], 1e-30)))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -107,7 +109,8 @@ def _flash_fwd_impl(
     block_q: int,
     block_k: int,
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_residuals: bool = False,
+):
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
     scale = softmax_scale if softmax_scale is not None else D**-0.5
@@ -153,8 +156,13 @@ def _flash_fwd_impl(
                     (1, bk, D), lambda b, qi, ki, *_: (b, ki, 0), memory_space=pltpu.VMEM
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (1, bq, D), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM
+            out_specs=(
+                pl.BlockSpec(
+                    (1, bq, D), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, bq, 128), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM
+                ),
             ),
             scratch_shapes=[
                 pltpu.VMEM((bq, 128), jnp.float32),
@@ -162,7 +170,10 @@ def _flash_fwd_impl(
                 pltpu.VMEM((bq, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B * N, Lq_p, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * N, Lq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B * N, Lq_p, 128), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * N * Lq_p * Lk_p * D,
             bytes_accessed=(B * N * (Lq_p + 2 * Lk_p + Lq_p) * D * 2),
@@ -170,9 +181,114 @@ def _flash_fwd_impl(
         ),
         interpret=interpret,
     )(kv_lens_bn, qt, kt, vt)
+    out, lse = out
+    out = out.reshape(B, N, Lq_p, D).transpose(0, 2, 1, 3)[:, :Lq]
+    lse = lse[:, :, 0].reshape(B, N, Lq_p)[:, :, :Lq]  # [B, N, Lq]
+    if return_residuals:
+        return out, (lse, qt, kt, vt, kv_lens_bn, Lq_p, Lk_p, bq, bk)
+    return out
 
-    out = out.reshape(B, N, Lq_p, D).transpose(0, 2, 1, 3)
-    return out[:, :Lq]
+
+# ---------------------------------------------------------------------------
+# backward kernels (flash attention gradient: O(L) memory via LSE residuals)
+# ---------------------------------------------------------------------------
+
+
+def _fa_bwd_dq_kernel(
+    kv_len_ref,  # scalar prefetch [B*N]
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *, scale: float, block_k: int, kv_steps: int,
+):
+    kv_i = pl.program_id(2)
+    kv_len = kv_len_ref[pl.program_id(0)]
+
+    @pl.when(kv_i == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    block_start = kv_i * block_k
+
+    @pl.when(block_start < kv_len)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]      # [BQ, 1]
+        delta = delta_ref[0][:, :1]  # [BQ, 1]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + block_start
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)  # [BQ, BK]
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        dq_scr[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_i == kv_steps - 1)
+    def _emit():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _fa_bwd_dkv_kernel(
+    kv_len_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float, q_steps: int,
+):
+    q_i = pl.program_id(2)
+    kv_len = kv_len_ref[pl.program_id(0)]
+    block_start = pl.program_id(1) * k_ref.shape[1]
+
+    @pl.when(q_i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when(block_start < kv_len)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]
+        delta = delta_ref[0][:, :1]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + block_start
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)  # [BQ, BK]
+        # dv += pᵀ @ do
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(q_i == q_steps - 1)
+    def _emit():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -191,18 +307,94 @@ def flash_attention(
 
 
 def _fa_fwd(q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret):
-    out = _flash_fwd_impl(q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret)
-    return out, (q, k, v, kv_lens)
+    out, res = _flash_fwd_impl(
+        q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret,
+        return_residuals=True,
+    )
+    lse, qt, kt, vt, kv_lens_bn, Lq_p, Lk_p, bq, bk = res
+    # zero-size token carrying the ORIGINAL Lk (needed to slice dk/dv)
+    lk_token = jnp.zeros((k.shape[1], 0), jnp.float32)
+    return out, (out, lse, qt, kt, vt, kv_lens_bn, lk_token)
 
 
 def _fa_bwd(softmax_scale, block_q, block_k, interpret, res, g):
-    from ..attention import attention_xla
+    out, lse, qt, kt, vt, kv_lens_bn, lk_token = res
+    BN, Lq_p, D = qt.shape
+    Lk_p = kt.shape[1]
+    Lk = lk_token.shape[0]
+    scale = softmax_scale if softmax_scale is not None else D**-0.5
+    B, Lq, N, _ = g.shape
+    # block sizes: any divisors of the padded lengths are mathematically
+    # equivalent; these match the forward's choices
+    bq = min(block_q, Lq_p)
+    bk = min(block_k, Lk_p)
 
-    q, k, v, kv_lens = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: attention_xla(q_, k_, v_, kv_lens, softmax_scale), q, k, v
-    )
-    dq, dk, dv = vjp(g)
+    do = jnp.pad(g, ((0, 0), (0, Lq_p - Lq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    do = do.reshape(BN, Lq_p, D)
+    o_p = jnp.pad(out, ((0, 0), (0, Lq_p - Lq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    o_p = o_p.reshape(BN, Lq_p, D)
+    delta = jnp.sum(do.astype(jnp.float32) * o_p.astype(jnp.float32), axis=-1)
+    lse_p = jnp.pad(lse.reshape(BN, -1), ((0, 0), (0, Lq_p - Lq)))
+    # broadcast row stats to 128 lanes for clean VMEM tiling
+    lse_b = jnp.broadcast_to(lse_p[:, :, None], (BN, Lq_p, 128))
+    delta_b = jnp.broadcast_to(delta[:, :, None], (BN, Lq_p, 128))
+
+    kv_steps = Lk_p // bk
+    q_steps = Lq_p // bq
+
+    dq = pl.pallas_call(
+        functools.partial(_fa_bwd_dq_kernel, scale=float(scale), block_k=bk,
+                          kv_steps=kv_steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BN, q_steps, kv_steps),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda b, qi, ki, *_: (b, ki, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda b, qi, ki, *_: (b, ki, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, D), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, 128), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, 128), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((BN, Lq_p, D), qt.dtype),
+        interpret=interpret,
+    )(kv_lens_bn, qt, kt, vt, do, lse_b, delta_b)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_fa_bwd_dkv_kernel, scale=float(scale), q_steps=q_steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BN, kv_steps, q_steps),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, ki, qi, *_: (b, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda b, ki, qi, *_: (b, ki, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda b, ki, qi, *_: (b, ki, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, D), lambda b, ki, qi, *_: (b, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, 128), lambda b, ki, qi, *_: (b, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, 128), lambda b, ki, qi, *_: (b, qi, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, bk, D), lambda b, ki, qi, *_: (b, ki, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda b, ki, qi, *_: (b, ki, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bk, D), jnp.float32),
+                pltpu.VMEM((bk, D), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BN, Lk_p, D), kt.dtype),
+            jax.ShapeDtypeStruct((BN, Lk_p, D), vt.dtype),
+        ),
+        interpret=interpret,
+    )(kv_lens_bn, qt, kt, vt, do, lse_b, delta_b)
+
+    dq = dq.reshape(B, N, Lq_p, D).transpose(0, 2, 1, 3)[:, :Lq]
+    dk = dk.reshape(B, N, Lk_p, D).transpose(0, 2, 1, 3)[:, :Lk]
+    dv = dv.reshape(B, N, Lk_p, D).transpose(0, 2, 1, 3)[:, :Lk]
     return dq, dk, dv, None
 
 

@@ -67,3 +67,38 @@ def test_flash_attention_grad_path():
     for gi in g:
         assert bool(jnp.isfinite(gi).all())
         assert float(jnp.abs(gi).sum()) > 0
+
+
+@pytest.mark.slow
+def test_pallas_backward_matches_xla_vjp():
+    """Pallas flash backward (dq/dk/dv kernels from LSE residuals) vs the XLA
+    attention VJP — including masked KV and Lq != Lk."""
+    B, Lq, Lk, N, D = 1, 200, 150, 2, 64
+    q = _rand((B, Lq, N, D), 0)
+    k = _rand((B, Lk, N, D), 1)
+    v = _rand((B, Lk, N, D), 2)
+    kv = jnp.array([120], jnp.int32)
+    g = _rand((B, Lq, N, D), 3)
+
+    out_p, vjp_p = jax.vjp(lambda q, k, v: flash_attention(q, k, v, kv, None, 128, 128, True), q, k, v)
+    out_x, vjp_x = jax.vjp(lambda q, k, v: attention_xla(q, k, v, kv), q, k, v)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=2e-5)
+    for a, b in zip(vjp_p(g), vjp_x(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_pallas_backward_unmasked_square():
+    B, L, N, D = 1, 256, 1, 64
+    q, k, v = _rand((B, L, N, D), 4), _rand((B, L, N, D), 5), _rand((B, L, N, D), 6)
+
+    def lp(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, None, 128, 128, True) ** 2)
+
+    def lx(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) ** 2)
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5)
