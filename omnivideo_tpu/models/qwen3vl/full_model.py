@@ -192,14 +192,30 @@ def qwen3vl_forward(
     bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
 
     nl = tcfg.num_hidden_layers
-    for i in range(nl):
-        lp = jax.tree_util.tree_map(lambda a: a[i], params["text"]["layers"])
-        x = _text_layer_mrope(lp, x, cos, sin, tcfg, bias)
-        # deepstack: add intermediate vision features at visual positions
-        # after each of the first K layers (HF Qwen3VLTextModel.forward)
-        if visual_mask is not None and i < len(deepstack):
-            idx = jnp.asarray(np.nonzero(visual_mask)[0])
-            x = x.at[0, idx].add(deepstack[i].astype(x.dtype))
+    n_deep = len(deepstack)
+    vis_idx = (
+        jnp.asarray(np.nonzero(visual_mask)[0]) if visual_mask is not None else None
+    )
+    # deepstack features as scan inputs: zeros past the first K layers
+    if vis_idx is not None and n_deep:
+        ds_arr = jnp.stack(
+            [deepstack[i] if i < n_deep else jnp.zeros_like(deepstack[0])
+             for i in range(nl)]
+        ).astype(x.dtype)
+    else:
+        ds_arr = jnp.zeros((nl, 1, x.shape[-1]), x.dtype)
+
+    def body(xx, inp):
+        lp, ds = inp
+        y = _text_layer_mrope(lp, xx, cos, sin, tcfg, bias)
+        if vis_idx is not None and n_deep:
+            # add intermediate vision features at visual positions after each
+            # of the first K layers (HF Qwen3VLTextModel.forward); ds is zero
+            # for layers ≥ K so the add is exact
+            y = y.at[0, vis_idx].add(ds)
+        return y, None
+
+    x, _ = jax.lax.scan(body, x, (params["text"]["layers"], ds_arr))
     if final_norm:
         x = _rms(x, params["text"]["norm"], tcfg.rms_norm_eps)
     return x

@@ -151,9 +151,11 @@ def qwen3_forward(
     if attn_mask is not None:
         bias = bias + jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -3.4e38)
 
-    for i in range(cfg.num_hidden_layers):
-        lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
-        x, _ = _layer(lp, x, pos, cfg, bias)
+    def body(xx, lp):
+        y, _ = _layer(lp, xx, pos, cfg, bias)
+        return y, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
     hidden = _rms(x, params["norm"], cfg.rms_norm_eps)
     head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = hidden @ (head.T if cfg.tie_word_embeddings else head)
