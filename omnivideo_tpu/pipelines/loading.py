@@ -117,8 +117,16 @@ def load_pipeline(
     attn_impl: str = "auto",
     load_t5: bool = True,
     load_vae: bool = True,
+    mesh=None,
+    sp=None,
 ):
-    """Assemble the full OmniVideoX2XUnified from a reference checkpoint dir."""
+    """Assemble the full OmniVideoX2XUnified from a reference checkpoint dir.
+
+    mesh: shard expert DiT params over the 'fsdp' axis at load time — required
+    for A14B (14B bf16 params exceed one chip's HBM; role of reference
+    dit_fsdp, x2x_gen_unified.py:184-187). sp: SPConfig for sequence-parallel
+    denoising.
+    """
     from ..models.unified import load_special_tokens_pkl
     from .x2x import OmniVideoX2XUnified
 
@@ -126,6 +134,12 @@ def load_pipeline(
     high = low
     if cfg.dual_expert:
         high = load_expert(cfg, ckpt_dir, cfg.high_noise_checkpoint, dtype)
+    if mesh is not None:
+        from ..parallel.sharding import shard_params
+
+        low.wan = shard_params(low.wan, mesh)
+        if high is not low:
+            high.wan = shard_params(high.wan, mesh)
 
     vae = None
     if load_vae:
@@ -161,5 +175,5 @@ def load_pipeline(
 
     return OmniVideoX2XUnified(
         cfg, low, high, vae=vae, special_tokens=special,
-        text_encoder=text_encoder, attn_impl=attn_impl,
+        text_encoder=text_encoder, attn_impl=attn_impl, sp=sp,
     )

@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--dp_rank", type=int, default=None)
     p.add_argument("--dp_world_size", type=int, default=None)
     p.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--sp_size", type=int, default=1,
+                   help="Ulysses sequence-parallel degree (devices along 'seq')")
+    p.add_argument("--sp_mode", default="ulysses", choices=["ulysses", "ring", "hybrid"])
+    p.add_argument("--fsdp_size", type=int, default=1,
+                   help="parameter-shard degree (devices along 'fsdp')")
     p.add_argument("--fps", type=int, default=None)
     # VLM caption-expansion stage (reference generate_omni_v2v.py:641-729)
     p.add_argument("--vlm_path", default=None,
@@ -94,13 +99,31 @@ def main():
         else cfg.sample_guide_scale
     )
 
+    sp = None
+    mesh = None
+    if args.sp_size > 1 or args.fsdp_size > 1:
+        from omnivideo_tpu.models.wan_dit import SPConfig
+        from omnivideo_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(dp=1, fsdp=args.fsdp_size, sp=args.sp_size)
+        if args.sp_size > 1:
+            sp = SPConfig(mesh=mesh, mode=args.sp_mode)
+
     if args.random_weights:
         pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl=args.attn_impl)
+        pipe.sp = sp
     else:
         assert args.ckpt_dir, "--ckpt_dir required without --random_weights"
         from omnivideo_tpu.pipelines.loading import load_pipeline
 
-        pipe = load_pipeline(cfg, args.ckpt_dir, attn_impl=args.attn_impl)
+        pipe = load_pipeline(cfg, args.ckpt_dir, attn_impl=args.attn_impl,
+                             mesh=mesh, sp=sp)
+    if mesh is not None:
+        from omnivideo_tpu.parallel.sharding import shard_params
+
+        for expert in {id(pipe.low_noise): pipe.low_noise,
+                       id(pipe.high_noise): pipe.high_noise}.values():
+            expert.wan = shard_params(expert.wan, mesh)
 
     vlm = None
     if args.vlm_path:
