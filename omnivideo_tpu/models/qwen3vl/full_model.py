@@ -246,6 +246,21 @@ def qwen3vl_hf_to_params(sd, cfg: Qwen3VLConfig):
 # ---------------------------------------------------------------------------
 
 
+def _sample_token(logits, key, temperature: float, top_p: float):
+    """Greedy (T=0) or top-p nucleus sampling. logits: [V]."""
+    if temperature <= 0:
+        return jnp.argmax(logits, -1)
+    logits = logits / temperature
+    sorted_logits = jnp.sort(logits)[::-1]
+    probs = jax.nn.softmax(sorted_logits)
+    cum = jnp.cumsum(probs)
+    # keep the smallest set with cumulative prob ≥ top_p
+    cutoff_idx = jnp.sum(cum < top_p)
+    cutoff = sorted_logits[jnp.minimum(cutoff_idx, logits.shape[-1] - 1)]
+    filtered = jnp.where(logits >= cutoff, logits, -1e30)
+    return jax.random.categorical(key, filtered)
+
+
 def qwen3vl_greedy_decode(
     params,
     cfg: Qwen3VLConfig,
@@ -255,6 +270,9 @@ def qwen3vl_greedy_decode(
     max_new_tokens: int = 128,
     eos_token_id: Optional[int] = None,
     is_video: bool = True,
+    temperature: float = 0.0,
+    top_p: float = 0.9,
+    rng_seed: int = 0,
 ) -> np.ndarray:
     """Greedy caption decoding with a static KV cache (role of HF
     model.generate in vllm_model.py:189-203).
@@ -323,7 +341,10 @@ def qwen3vl_greedy_decode(
 
     hidden = _rms(x[:, -1:], params["text"]["norm"], tcfg.rms_norm_eps)
     head = params["text"].get("lm_head", params["text"]["embed"].T)
-    first_tok = jnp.argmax(hidden @ head, -1)[:, -1]
+    rng = jax.random.PRNGKey(rng_seed)
+    rng, k0 = jax.random.split(rng)
+    first_tok = _sample_token((hidden @ head)[0, -1].astype(jnp.float32), k0,
+                              temperature, top_p)[None]
 
     # decode positions: uniform (p, p, p) → standard 1D rope
     start_pos = int(pos.max()) + 1
@@ -331,7 +352,8 @@ def qwen3vl_greedy_decode(
     inv = jnp.asarray(inv, jnp.float32)
 
     def step(carry, i):
-        tok, length, kc, vc, done = carry
+        tok, length, kc, vc, done, rng = carry
+        rng, kstep = jax.random.split(rng)
         xx = params["text"]["embed"][tok[:, None]]
         p = (start_pos + i).astype(jnp.float32)
         ang = p * inv
@@ -363,14 +385,16 @@ def qwen3vl_greedy_decode(
             hn = _rms(xx, lp["ln2"], tcfg.rms_norm_eps)
             xx = xx + (_moe(lp["mlp"], hn, tcfg) if "experts" in lp["mlp"] else _mlp(lp["mlp"], hn))
         hid = _rms(xx, params["text"]["norm"], tcfg.rms_norm_eps)
-        nxt = jnp.argmax(hid @ head, -1)[:, -1]
+        nxt = _sample_token((hid @ head)[0, -1].astype(jnp.float32), kstep,
+                            temperature, top_p)[None]
         if eos_token_id is not None:
             done_now = jnp.logical_or(done, tok[0] == eos_token_id)
             nxt = jnp.where(done_now, jnp.full_like(nxt, eos_token_id), nxt)
         else:
             done_now = done
-        return (nxt, length + 1, kc, vc, done_now), tok
+        return (nxt, length + 1, kc, vc, done_now, rng), tok
 
-    init = (first_tok, jnp.asarray(Lp, jnp.int32), k_cache, v_cache, jnp.asarray(False))
+    init = (first_tok, jnp.asarray(Lp, jnp.int32), k_cache, v_cache,
+            jnp.asarray(False), rng)
     _, toks = jax.lax.scan(step, init, jnp.arange(max_new_tokens))
     return np.asarray(toks.reshape(-1))

@@ -138,3 +138,23 @@ def test_multimodal_greedy_decode_parity(tiny):
         max_new_tokens=6,
     )
     np.testing.assert_array_equal(ours, hf[0, input_ids.shape[1]:].numpy())
+
+
+def test_sampled_decode_runs(tiny):
+    """top-p sampling path (reference caption defaults T=0.7 p=0.9) produces
+    valid tokens and is deterministic per seed."""
+    from omnivideo_tpu.models.qwen3vl.full_model import qwen3vl_greedy_decode
+
+    m, cfg = tiny
+    input_ids, pixel, grid = _build_inputs(cfg, seed=5)
+    params = qwen3vl_hf_to_params({k: v.numpy() for k, v in m.state_dict().items()}, cfg)
+    a = qwen3vl_greedy_decode(params, cfg, input_ids.numpy(),
+                              jnp.asarray(pixel.numpy()), (2, 4, 4),
+                              max_new_tokens=5, temperature=0.7, top_p=0.9,
+                              rng_seed=7)
+    b = qwen3vl_greedy_decode(params, cfg, input_ids.numpy(),
+                              jnp.asarray(pixel.numpy()), (2, 4, 4),
+                              max_new_tokens=5, temperature=0.7, top_p=0.9,
+                              rng_seed=7)
+    assert (a >= 0).all() and (a < cfg.text.vocab_size).all()
+    np.testing.assert_array_equal(a, b)
