@@ -76,9 +76,18 @@ def wan_state_dict_to_params(sd: Mapping[str, Array], num_layers: int, cross_att
             "modulation": np.asarray(sd["head.modulation"]).reshape(2, dim),
         },
     }
+    if "img_emb.proj.0.weight" in sd:  # i2v MLPProj
+        params["img_emb"] = {
+            "ln1": {"scale": np.asarray(sd["img_emb.proj.0.weight"]),
+                    "bias": np.asarray(sd["img_emb.proj.0.bias"])},
+            "fc1": _lin(sd, "img_emb.proj.1"),
+            "fc2": _lin(sd, "img_emb.proj.3"),
+            "ln2": {"scale": np.asarray(sd["img_emb.proj.4.weight"]),
+                    "bias": np.asarray(sd["img_emb.proj.4.bias"])},
+        }
 
     def attn(prefix):
-        return {
+        p = {
             "q": _lin(sd, f"{prefix}.q"),
             "k": _lin(sd, f"{prefix}.k"),
             "v": _lin(sd, f"{prefix}.v"),
@@ -86,6 +95,11 @@ def wan_state_dict_to_params(sd: Mapping[str, Array], num_layers: int, cross_att
             "norm_q": np.asarray(sd[f"{prefix}.norm_q.weight"]),
             "norm_k": np.asarray(sd[f"{prefix}.norm_k.weight"]),
         }
+        if f"{prefix}.k_img.weight" in sd:  # i2v cross-attention
+            p["k_img"] = _lin(sd, f"{prefix}.k_img")
+            p["v_img"] = _lin(sd, f"{prefix}.v_img")
+            p["norm_k_img"] = np.asarray(sd[f"{prefix}.norm_k_img.weight"])
+        return p
 
     blocks = []
     for i in range(num_layers):

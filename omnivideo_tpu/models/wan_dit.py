@@ -284,13 +284,25 @@ def wan_block_apply(
         xn = x
     ca = bp["cross_attn"]
     ctx = aux.context
-    Lc = ctx.shape[1]
     xq = xn.astype(pdtype)
     q = rms_norm(_dense(ca["q"], xq), ca["norm_q"], cfg.eps).reshape(B, L, N, hd)
-    kk = rms_norm(_dense(ca["k"], ctx), ca["norm_k"], cfg.eps).reshape(B, Lc, N, hd)
-    vv = _dense(ca["v"], ctx).reshape(B, Lc, N, hd)
-    # context_lens=None in reference (model.py:479): attend over full padded ctx
-    o = attention(q, kk, vv, kv_lens=None, impl=attn_impl).reshape(B, L, d)
+    if "k_img" in ca:
+        # i2v cross-attention (v1 wan model.py:185-226): first 257 context
+        # tokens are CLIP image features with separate K/V; outputs sum
+        ctx_img, ctx_txt = ctx[:, :257], ctx[:, 257:]
+        Li, Lt = ctx_img.shape[1], ctx_txt.shape[1]
+        kk = rms_norm(_dense(ca["k"], ctx_txt), ca["norm_k"], cfg.eps).reshape(B, Lt, N, hd)
+        vv = _dense(ca["v"], ctx_txt).reshape(B, Lt, N, hd)
+        ki = rms_norm(_dense(ca["k_img"], ctx_img), ca["norm_k_img"], cfg.eps).reshape(B, Li, N, hd)
+        vi = _dense(ca["v_img"], ctx_img).reshape(B, Li, N, hd)
+        o = attention(q, kk, vv, kv_lens=None, impl=attn_impl).reshape(B, L, d)
+        o = o + attention(q, ki, vi, kv_lens=None, impl=attn_impl).reshape(B, L, d)
+    else:
+        Lc = ctx.shape[1]
+        kk = rms_norm(_dense(ca["k"], ctx), ca["norm_k"], cfg.eps).reshape(B, Lc, N, hd)
+        vv = _dense(ca["v"], ctx).reshape(B, Lc, N, hd)
+        # context_lens=None in reference (model.py:479): attend over full padded ctx
+        o = attention(q, kk, vv, kv_lens=None, impl=attn_impl).reshape(B, L, d)
     o = _dense(ca["o"], o)
     x = x + o.astype(jnp.float32)
 
@@ -305,6 +317,15 @@ def wan_block_apply(
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
+
+
+def mlp_proj_apply(p, x):
+    """MLPProj (v1 wan model.py:347-360): LN → Linear → GELU → Linear → LN."""
+    h = layer_norm(x, 1e-5, scale=p["ln1"]["scale"], bias=p["ln1"]["bias"])
+    h = _dense(p["fc1"], h)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _dense(p["fc2"], h)
+    return layer_norm(h, 1e-5, scale=p["ln2"]["scale"], bias=p["ln2"]["bias"])
 
 
 def embed_context(params, cfg: WanDiTConfig, context: jnp.ndarray) -> jnp.ndarray:
@@ -349,6 +370,7 @@ def wan_dit_apply(
     mesh=None,
     sp: Optional[SPConfig] = None,
     y: Optional[jnp.ndarray] = None,
+    clip_fea: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full DiT forward (reference model.py:417-524).
 
@@ -388,6 +410,11 @@ def wan_dit_apply(
 
     if not context_embedded:
         context = embed_context(params, cfg, context)
+    if clip_fea is not None:
+        # i2v: MLPProj'd CLIP tokens prepended to the text context
+        # (v1 wan model.py: context = cat([img_emb(clip_fea), context]))
+        img_ctx = mlp_proj_apply(params["img_emb"], clip_fea)
+        context = jnp.concatenate([img_ctx.astype(context.dtype), context], axis=1)
     context = context.astype(pdtype)
 
     if sp is not None:
