@@ -179,3 +179,24 @@ def vision_head_from_state_dict(sd: Dict[str, np.ndarray]):
         "transformer": _transformer_from_sd(sd, "visionHeadAdapter"),
     }
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def v1_aligned_embedding(
+    vision_head_params,
+    adapter_params,
+    vlm_last_hidden_state: jnp.ndarray,
+    is_video: bool = True,
+) -> jnp.ndarray:
+    """v1 conditioning chain (reference omni_video_model.py:243-265):
+    VLM hidden states → VisionHead (learnable-query tokens, [B, Q, 1152]) →
+    DM_Adapter per query token → 256-query aligned embeddings.
+
+    Images use only query 0 → [B, 256, 4096]; videos run the adapter per
+    vision-head query and concatenate → [B, Q·256, 4096].
+    """
+    heads = vision_head_apply(vision_head_params, vlm_last_hidden_state)  # [B, Q, 1152]
+    B, Q, D = heads.shape
+    if not is_video:
+        return dm_adapter_apply(adapter_params, heads[:, 0:1])
+    per = dm_adapter_apply(adapter_params, heads.reshape(B * Q, 1, D))  # [B·Q, 256, out]
+    return per.reshape(B, Q * per.shape[1], per.shape[2])
