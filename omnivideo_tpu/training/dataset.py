@@ -60,14 +60,45 @@ class PadSpec:
 
 
 class OmniVideoDataset:
-    """Directory of per-sample .pkl/.npz feature files."""
+    """Per-sample feature files: a directory of .pkl/.npz/.pt, or indexed
+    .tar shards of .npz members (role of the reference's WebDataset-style
+    shards, .../llava/wids/wids.py)."""
 
     def __init__(self, root: str, max_retries: int = 20):
-        self.files: List[Path] = sorted(
-            p for p in Path(root).iterdir() if p.suffix in (".pkl", ".npz", ".pt")
-        )
-        assert self.files, f"no samples under {root}"
+        rootp = Path(root)
+        self._tar_members = None
+        if rootp.is_file() and rootp.suffix == ".tar" or (
+            rootp.is_dir() and any(rootp.glob("*.tar"))
+        ):
+            import tarfile
+
+            shards = [rootp] if rootp.is_file() else sorted(rootp.glob("*.tar"))
+            self._tar_members = []
+            for shard in shards:
+                with tarfile.open(shard) as tf:
+                    for m in tf.getmembers():
+                        if m.isfile() and m.name.endswith(".npz"):
+                            self._tar_members.append((shard, m.name))
+            assert self._tar_members, f"no .npz members in shards under {root}"
+            self.files = [f"{s}::{n}" for s, n in self._tar_members]
+        else:
+            self.files = sorted(
+                p for p in rootp.iterdir() if p.suffix in (".pkl", ".npz", ".pt")
+            )
+            assert self.files, f"no samples under {root}"
         self.max_retries = max_retries
+
+    def _load(self, idx: int) -> Dict[str, np.ndarray]:
+        if self._tar_members is not None:
+            import io
+            import tarfile
+
+            shard, name = self._tar_members[idx]
+            with tarfile.open(shard) as tf:
+                data = np.load(io.BytesIO(tf.extractfile(name).read()),
+                               allow_pickle=True)
+                return {k: np.asarray(v) for k, v in dict(data).items()}
+        return _load_sample(self.files[idx])
 
     def __len__(self) -> int:
         return len(self.files)
@@ -78,7 +109,7 @@ class OmniVideoDataset:
         rng = random.Random(idx)
         for attempt in range(self.max_retries):
             try:
-                return _load_sample(self.files[idx])
+                return self._load(idx)
             except Exception as e:  # pragma: no cover - corrupt-file path
                 log.warning("sample %s failed (%s); substituting", self.files[idx], e)
                 idx = rng.randrange(len(self.files))

@@ -112,3 +112,17 @@ def test_checkpoint_save_restore(tmp_path, data_root):
     restored = mgr.restore(init_train_state(params, tx))
     assert int(restored.step) == 7
     np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(4.0))
+
+
+def test_tar_shard_dataset(tmp_path, data_root):
+    """Indexed tar shards (role of reference webdataset wids)."""
+    import tarfile
+
+    shard = tmp_path / "shard-000.tar"
+    with tarfile.open(shard, "w") as tf:
+        for f in sorted(data_root.iterdir())[:4]:
+            tf.add(f, arcname=f.name)
+    ds = OmniVideoDataset(str(tmp_path))
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["text_emb"].shape == (8, 48)
