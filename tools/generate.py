@@ -208,9 +208,14 @@ def main():
             **kw,
         )
         dt = time.time() - t0
-        out = save_video(
-            str(outdir / f"{sample_id}.mp4"), video, fps=args.fps or cfg.sample_fps
-        )
+        if frame_num == 1:  # t2i: save a still image
+            from omnivideo_tpu.utils.video import save_image
+
+            out = save_image(str(outdir / f"{sample_id}.png"), video[:, 0])
+        else:
+            out = save_video(
+                str(outdir / f"{sample_id}.mp4"), video, fps=args.fps or cfg.sample_fps
+            )
         logging.info("sample %s -> %s  (%.1fs)", sample_id, out, dt)
 
 
