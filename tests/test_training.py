@@ -126,3 +126,42 @@ def test_tar_shard_dataset(tmp_path, data_root):
     assert len(ds) == 4
     s = ds[0]
     assert s["text_emb"].shape == (8, 48)
+
+
+def test_alignment_training_decreases_loss():
+    """VisionHead+DM_Adapter alignment step (role of train_vila_vh)."""
+    import optax
+
+    from omnivideo_tpu.models.adapters import (
+        dm_adapter_from_state_dict,
+        vision_head_from_state_dict,
+    )
+    from omnivideo_tpu.training.align import (
+        init_align_state,
+        make_align_step,
+    )
+
+    g = np.load(__import__("pathlib").Path(__file__).parent / "golden" / "adapter_tiny.npz")
+    sd = {k[len("sd::"):]: g[k] for k in g.files if k.startswith("sd::")}
+    sd2 = dict(sd)
+    w = np.asarray(sd["fc.0.weight"])
+    sd2["fc.0.weight"] = np.concatenate([w, w[:, :8]], axis=1)
+    params = {
+        "adapter": dm_adapter_from_state_dict(sd2),
+        "vision_head": vision_head_from_state_dict(
+            {k.replace("adapter.", "visionHeadAdapter."): v for k, v in sd.items()}
+        ),
+    }
+    rng = np.random.default_rng(0)
+    batch = {
+        "vlm": jnp.asarray(rng.standard_normal((2, 10, 24)), jnp.float32),
+        "target": jnp.asarray(rng.standard_normal((2, 8, 32)) * 0.1, jnp.float32),
+    }
+    tx = optax.adam(1e-3)
+    state = init_align_state(params, tx)
+    step = jax.jit(make_align_step(tx, cosine_weight=0.1))
+    losses = []
+    for _ in range(10):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
