@@ -160,16 +160,12 @@ def build_mixed_context(
 
 
 def load_special_tokens_pkl(path: str, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
-    """Load special_tokens.pkl (x2x_gen_unified.py:214-226). Uses torch (CPU)
-    to read the pickle; returns jnp arrays."""
-    import torch
+    """Load special_tokens.pkl (x2x_gen_unified.py:214-226) — torch-free."""
+    from ..io.torch_reader import read_torch_checkpoint, to_float_numpy
 
-    with open(path, "rb") as f:
-        obj = torch.load(f, map_location="cpu", weights_only=False)
+    obj = to_float_numpy(read_torch_checkpoint(path))
     assert isinstance(obj, dict)
-    return {
-        k: jnp.asarray(np.asarray(v.float()), dtype=dtype) for k, v in obj.items()
-    }
+    return {k: jnp.asarray(np.asarray(v), dtype=dtype) for k, v in obj.items()}
 
 
 def build_mixed_context_batch(

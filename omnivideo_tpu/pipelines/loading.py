@@ -12,8 +12,10 @@ modules/t5.py:495, modules/vae2_1.py:611-613):
       Wan2.1_VAE.pth
       google/umt5-xxl/                 # tokenizer files
 
-torch (CPU) is used only to *read* pickles; everything becomes jnp pytrees.
-safetensors subfolders are read torch-free via safetensors.numpy.
+Reading is TORCH-FREE by default: io/torch_reader.py parses the torch zip
+pickle format directly (numpy + ml_dtypes, incl. bf16); torch (CPU) is only a
+fallback for exotic pickles. safetensors subfolders are read via
+safetensors.numpy.
 """
 
 from __future__ import annotations
@@ -42,21 +44,27 @@ log = logging.getLogger(__name__)
 
 
 def _torch_load(path):
-    import torch
+    """Torch-free by default; torch-based fallback for exotic pickles."""
+    from ..io.torch_reader import read_torch_checkpoint
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    return obj
+    try:
+        return read_torch_checkpoint(str(path))
+    except Exception as e:
+        log.warning("torch-free reader failed on %s (%s); falling back to torch", path, e)
+        import torch
+
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 def _sd_to_numpy(sd):
-    import torch
+    from ..io.torch_reader import to_float_numpy
 
     out = {}
     for k, v in sd.items():
-        if isinstance(v, torch.Tensor):
+        if type(v).__module__.startswith("torch"):
             out[k] = v.float().numpy()
         else:
-            out[k] = v
+            out[k] = to_float_numpy(v)
     return out
 
 

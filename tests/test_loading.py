@@ -107,3 +107,23 @@ def test_loaded_t5_encodes(ckpt_dir):
     out = t5_encode(pipe.text_encoder.params, CFG.t5, ids, mask)
     assert out.shape == (1, 8, 48)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_torch_free_reader_roundtrip(tmp_path):
+    """io/torch_reader loads torch-saved state dicts without torch
+    (SURVEY hard-part #4)."""
+    from omnivideo_tpu.io.torch_reader import read_torch_checkpoint, to_float_numpy
+
+    sd = {
+        "w": torch.randn(3, 4),
+        "bf": torch.randn(2, 5).to(torch.bfloat16),
+        "view": torch.randn(4, 4).t(),
+        "nested": {"i": torch.arange(6).reshape(2, 3)},
+    }
+    p = tmp_path / "m.pt"
+    torch.save(sd, p)
+    obj = to_float_numpy(read_torch_checkpoint(str(p)))
+    np.testing.assert_allclose(obj["w"], sd["w"].numpy())
+    np.testing.assert_allclose(obj["bf"], sd["bf"].float().numpy(), rtol=1e-2)
+    np.testing.assert_allclose(obj["view"], sd["view"].numpy())
+    np.testing.assert_array_equal(obj["nested"]["i"], sd["nested"]["i"].numpy())
