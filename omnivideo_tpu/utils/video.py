@@ -27,8 +27,14 @@ log = logging.getLogger(__name__)
 
 def _to_uint8(video: np.ndarray, value_range: Tuple[float, float] = (-1, 1)) -> np.ndarray:
     """[C, T, H, W] float in value_range → [T, H, W, C] uint8."""
+    video = np.asarray(video, np.float32)
+    if video.ndim == 4 and video.shape[0] in (1, 3) and value_range == (-1, 1):
+        # fused native path (single pass clip+scale+transpose)
+        from .frame_native import chw_to_frames_u8
+
+        return chw_to_frames_u8(video)
     lo, hi = value_range
-    x = np.clip(np.asarray(video, np.float32), lo, hi)
+    x = np.clip(video, lo, hi)
     x = (x - lo) / (hi - lo)
     x = (x * 255.0 + 0.5).astype(np.uint8)
     if x.ndim == 4 and x.shape[0] in (1, 3):  # CTHW → THWC
@@ -185,6 +191,7 @@ def sample_and_transform_frames(
         left, top = (w2 - W_t) // 2, (h2 - H_t) // 2
         img = img.crop((left, top, left + W_t, top + H_t))
         out.append(np.asarray(img, np.float32))
-    arr = np.stack(out)  # [T, H, W, 3]
-    arr = arr / 127.5 - 1.0
-    return arr.transpose(3, 0, 1, 2)
+    arr = np.stack(out).astype(np.uint8)  # [T, H, W, 3]
+    from .frame_native import frames_to_chw_norm
+
+    return frames_to_chw_norm(arr)

@@ -75,3 +75,26 @@ def test_smart_nframes():
     assert smart_nframes({"nframes": 6}, total_frames=100, video_fps=30) == 6
     n = smart_nframes({"fps": 2}, total_frames=120, video_fps=30)
     assert n % 2 == 0 and 4 <= n <= 120
+
+
+def test_native_frame_ops_match_numpy():
+    """C++ fused frame transforms == numpy reference (and roundtrip)."""
+    from omnivideo_tpu.utils.frame_native import (
+        chw_to_frames_u8,
+        frames_to_chw_norm,
+        sample_frames_to_chw_norm,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (7, 12, 10, 3), np.uint8)
+    out = frames_to_chw_norm(frames)
+    ref = (frames.astype(np.float32) / 127.5 - 1.0).transpose(3, 0, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    idx = np.array([0, 2, 6])
+    np.testing.assert_allclose(
+        sample_frames_to_chw_norm(frames, idx),
+        (frames[idx].astype(np.float32) / 127.5 - 1.0).transpose(3, 0, 1, 2),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(chw_to_frames_u8(ref), frames)
