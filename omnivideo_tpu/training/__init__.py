@@ -1,5 +1,12 @@
 from .checkpoint import CheckpointManager
-from .dataset import OmniVideoDataset, PadSpec, collate, data_loader, make_dummy_dataset
+from .dataset import (
+    OmniVideoDataset,
+    PadSpec,
+    PrefetchLoader,
+    collate,
+    data_loader,
+    make_dummy_dataset,
+)
 from .trainer import (
     TrainConfig,
     TrainState,
@@ -21,5 +28,6 @@ __all__ = [
     "PadSpec",
     "collate",
     "data_loader",
+    "PrefetchLoader",
     "make_dummy_dataset",
 ]

@@ -214,3 +214,37 @@ def make_dummy_dataset(
             )
         np.savez_compressed(rootp / f"sample_{i:05d}.npz", **sample)
     return rootp
+
+
+class PrefetchLoader:
+    """Background-thread prefetching wrapper (role of dataloader workers /
+    decord's async decode): decodes + collates the next batches while the
+    device runs the current step. IO and npz decompression release the GIL,
+    so a thread suffices; `depth` bounds host memory.
+    """
+
+    def __init__(self, iterator: Iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            finally:
+                self._q.put(self._done)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

@@ -165,3 +165,15 @@ def test_alignment_training_decreases_loss():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_prefetch_loader(data_root):
+    from omnivideo_tpu.training.dataset import PrefetchLoader
+
+    ds = OmniVideoDataset(str(data_root))
+    base = data_loader(ds, 2, PAD, seed=3, epochs=1)
+    pre = PrefetchLoader(data_loader(ds, 2, PAD, seed=3, epochs=1), depth=2)
+    a = list(base)
+    b = list(pre)
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(a[0]["latents"], b[0]["latents"])

@@ -174,9 +174,13 @@ def main():
         state = ckpt.restore(state)
         logging.info("resumed from step %d", int(state.step))
 
+    from omnivideo_tpu.training.dataset import PrefetchLoader
+
     loaders = {
-        name: data_loader(ds, args.batch_size, pad, seed=args.seed,
-                          host_id=jax.process_index(), num_hosts=jax.process_count())
+        name: PrefetchLoader(
+            data_loader(ds, args.batch_size, pad, seed=args.seed,
+                        host_id=jax.process_index(), num_hosts=jax.process_count())
+        )
         for name, (ds, _) in tasks.items()
     }
     weights = {name: w for name, (_, w) in tasks.items()}

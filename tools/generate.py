@@ -58,6 +58,8 @@ def parse_args():
     p.add_argument("--random_weights", action="store_true",
                    help="random-init params (no checkpoint load)")
     p.add_argument("--tiny", action="store_true", help="shrink model for smoke runs")
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace of generation into this dir")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     return p.parse_args()
 
@@ -196,17 +198,26 @@ def main():
             kw = dict(input_prompt=prompt, ar_vision_input=ar_vision)
 
         t0 = time.time()
-        video = pipe.generate(
-            visual_emb=visual_emb,
-            size=size,
-            frame_num=frame_num,
-            shift=shift,
-            sample_solver=args.sample_solver,
-            sampling_steps=steps,
-            guide_scale=guide,
-            seed=args.base_seed + idx,
-            **kw,
-        )
+        if args.profile:
+            from omnivideo_tpu.utils.observability import profile_trace
+
+            prof_cm = profile_trace(args.profile)
+        else:
+            import contextlib
+
+            prof_cm = contextlib.nullcontext()
+        with prof_cm:
+            video = pipe.generate(
+                visual_emb=visual_emb,
+                size=size,
+                frame_num=frame_num,
+                shift=shift,
+                sample_solver=args.sample_solver,
+                sampling_steps=steps,
+                guide_scale=guide,
+                seed=args.base_seed + idx,
+                **kw,
+            )
         dt = time.time() - t0
         if frame_num == 1:  # t2i: save a still image
             from omnivideo_tpu.utils.video import save_image
