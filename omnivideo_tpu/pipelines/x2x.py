@@ -276,8 +276,11 @@ class OmniVideoX2XUnified:
         if n_high < S:
             segments.append((self.low_noise, n_high, S, g_low))
 
+        import time as _time
+
         solver_cls = type(solver)
         for expert, a, b, g in segments:
+            t_seg = _time.perf_counter()
             coeffs_seg = jax.tree_util.tree_map(lambda f: f[a:b], solver.coeffs)
             mixed2 = jnp.stack(
                 [
@@ -287,6 +290,9 @@ class OmniVideoX2XUnified:
             )
             run = self._denoise_segment_fn(solver_cls, b - a, seq_len)
             state = run(expert.wan, state, coeffs_seg, mixed2, jnp.float32(g))
+            jax.block_until_ready(state.x)
+            log.info("denoise segment steps[%d:%d) took %.2fs (guide %.1f)",
+                     a, b, _time.perf_counter() - t_seg, g)
 
         latents = state.x  # [1, C, F, h, w] f32
         if not decode:

@@ -127,3 +127,19 @@ def test_torch_free_reader_roundtrip(tmp_path):
     np.testing.assert_allclose(obj["bf"], sd["bf"].float().numpy(), rtol=1e-2)
     np.testing.assert_allclose(obj["view"], sd["view"].numpy())
     np.testing.assert_array_equal(obj["nested"]["i"], sd["nested"]["i"].numpy())
+
+
+def test_omni_video_generator_t2v(ckpt_dir):
+    """v1-style OmniVideoGenerator orchestrator over a checkpoint bundle."""
+    from omnivideo_tpu.pipelines.generator import OmniVideoGenerator
+
+    gen = OmniVideoGenerator(str(ckpt_dir), config=CFG.replace(param_dtype="float32"))
+    # no AR model in the bundle -> text-only; T5 has no tokenizer here, so use
+    # the precomputed-context path through the underlying pipeline
+    uni = np.load(GOLDEN / "unified_tiny.npz")
+    video = gen.pipe.generate(
+        precomputed_context=jnp.asarray(uni["ctx"]),
+        precomputed_context_null=jnp.zeros_like(jnp.asarray(uni["ctx"])),
+        size=(16, 16), frame_num=5, sampling_steps=2, guide_scale=3.0, seed=0,
+    )
+    assert video.shape == (3, 5, 16, 16)
