@@ -79,18 +79,28 @@ def build_mixed_context(
     aligned_emb: Optional[jnp.ndarray] = None,
     special_tokens: Optional[Dict[str, jnp.ndarray]] = None,
     condition_mode: str = "full",
+    ref_images: Optional[jnp.ndarray] = None,
+    order: str = "v2",
 ) -> jnp.ndarray:
     """Assemble one sample's mixed context, zero-padded to max_context_len.
 
     Inputs are per-sample 2D [L, D] arrays (context in text_dim space, already
-    T5/VLM-encoded). Returns [max_context_len, text_dim]. Order and special-
-    token sandwiching match unified_model.py:219-276.
+    T5/VLM-encoded). Returns [max_context_len, text_dim].
+
+    order="v2" (default): [VLM][<ipl> aligned][<prp> text][<img> visual] —
+    the tight concatenation of unified_model.py:219-276.
+    order="v1": [<img> visual][<img> ref][<ipl> aligned][<prp> text] — the v1
+    mixed-condition assembly (omni_video_model.py:337-377), where reference
+    images get a second <img_st>/<img_ed> sandwich and text comes last.
+    ref_images: reference-image VAE latents [C, F, h, w], projected through
+    the same visual-context adapter as visual_emb (omni_video_model.py:283-292).
     """
     assert condition_mode in (
         "auto", "full", "text_only",
         # v1 condition modes (reference omni_video_unified_gen.py:25-143)
         "aligned_emb_with_text", "aligned_emb_only", "visual_with_aligned_emb",
     )
+    assert order in ("v1", "v2"), f"unknown token order {order!r}"
     td = cfg.dit.text_dim
     parts: List[jnp.ndarray] = []
     if condition_mode == "aligned_emb_only":
@@ -127,25 +137,58 @@ def build_mixed_context(
 
     aligned_item = as2d(aligned_emb) if aligned_emb is not None else None
 
+    ref_item = None
+    if ref_images is not None and "visual_context_adapter" in companions:
+        ref_item = vca_apply(
+            companions["visual_context_adapter"],
+            ref_images,
+            cfg.visual_context_adapter_patch_size,
+            cfg.dit.eps,
+        )[0]
+
     if special_tokens is not None:
         st = {k: as2d(v) for k, v in special_tokens.items()}
-        if vlm_item is not None:
-            parts.append(vlm_item)
-        if aligned_item is not None:
-            # v1: aligned embeddings sandwiched with <ipl_st>/<ipl_ed> when
-            # present (omni_video_model.py:337-377), else bare
-            if "<ipl_st>" in st:
-                parts.extend([st["<ipl_st>"], aligned_item, st["<ipl_ed>"]])
+
+        def sandwich(start, item, end):
+            if start in st and end in st:
+                parts.extend([st[start], item, st[end]])
             else:
-                parts.append(aligned_item)
-        if context is not None:
-            parts.extend([st["<prp_st>"], as2d(context), st["<prp_ed>"]])
-        if visual_item is not None:
-            parts.extend([st["<img_st>"], visual_item, st["<img_ed>"]])
+                parts.append(item)
+
+        if order == "v1":
+            # v1 order: visual, ref (both <img> sandwiched), aligned (<ipl>),
+            # text (<prp>) — omni_video_model.py:337-377
+            if visual_item is not None:
+                sandwich("<img_st>", visual_item, "<img_ed>")
+            if ref_item is not None:
+                sandwich("<img_st>", ref_item, "<img_ed>")
+            if aligned_item is not None:
+                sandwich("<ipl_st>", aligned_item, "<ipl_ed>")
+            if context is not None:
+                sandwich("<prp_st>", as2d(context), "<prp_ed>")
+        else:
+            if vlm_item is not None:
+                parts.append(vlm_item)
+            if aligned_item is not None:
+                # aligned embeddings sandwiched with <ipl_st>/<ipl_ed> when
+                # present, else bare (omni_video_model.py:357-368)
+                sandwich("<ipl_st>", aligned_item, "<ipl_ed>")
+            if context is not None:
+                sandwich("<prp_st>", as2d(context), "<prp_ed>")
+            if visual_item is not None:
+                sandwich("<img_st>", visual_item, "<img_ed>")
+            if ref_item is not None:
+                sandwich("<img_st>", ref_item, "<img_ed>")
     else:
-        parts = [p for p in (vlm_item, aligned_item,
-                             as2d(context) if context is not None else None,
-                             visual_item) if p is not None]
+        ordered = (
+            (visual_item, ref_item, aligned_item,
+             as2d(context) if context is not None else None)
+            if order == "v1"
+            else (vlm_item, aligned_item,
+                  as2d(context) if context is not None else None,
+                  visual_item, ref_item)
+        )
+        parts = [p for p in ordered if p is not None]
 
     if not parts:
         parts = [jnp.zeros((1, td), jnp.float32)]

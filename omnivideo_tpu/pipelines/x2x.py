@@ -193,6 +193,8 @@ class OmniVideoX2XUnified:
         ar_vision_input: Optional[jnp.ndarray] = None,
         visual_emb: Optional[jnp.ndarray] = None,
         aligned_emb: Optional[jnp.ndarray] = None,
+        ref_images: Optional[jnp.ndarray] = None,
+        token_order: str = "v2",
         size: Tuple[int, int] = (1280, 720),
         frame_num: int = 81,
         shift: float = 5.0,
@@ -252,8 +254,10 @@ class OmniVideoX2XUnified:
                 ar_vision=arv,
                 visual_emb=visual_emb,
                 aligned_emb=aligned_emb,
+                ref_images=ref_images,
                 special_tokens=self.special_tokens,
                 condition_mode="full" if condition_mode == "auto" else condition_mode,
+                order=token_order,
             )
 
         # ---- solver + noise ------------------------------------------------

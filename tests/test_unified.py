@@ -123,6 +123,50 @@ def test_v1_condition_modes(golden):
     np.testing.assert_allclose(np.asarray(m_wt[4:14]), np.asarray(ctx))
 
 
+def test_v1_token_order_and_ref_images(golden):
+    """v1 assembly order (omni_video_model.py:337-377): visual and ref_images
+    each <img>-sandwiched first, then <ipl> aligned, then <prp> text."""
+    sd = {k[len("sd::"):]: golden[k] for k in golden.files if k.startswith("sd::")}
+    _, comp_sd = split_unified_state_dict(sd)
+    companions = to_jnp(unified_companions_to_params(comp_sd))
+    ctx = jnp.asarray(golden["ctx"])  # [10, 48]
+    aligned = jnp.full((4, 48), 0.2, jnp.float32)
+    st = {
+        "<img_st>": jnp.full((1, 48), 1.0), "<img_ed>": jnp.full((1, 48), 2.0),
+        "<ipl_st>": jnp.full((1, 48), 3.0), "<ipl_ed>": jnp.full((1, 48), 4.0),
+        "<prp_st>": jnp.full((1, 48), 5.0), "<prp_ed>": jnp.full((1, 48), 6.0),
+    }
+    vis = jnp.asarray(golden["visual_emb"])  # [C, F, h, w]
+    from omnivideo_tpu.models.visual_context_adapter import vca_apply
+
+    vis_tok = vca_apply(
+        companions["visual_context_adapter"], vis,
+        CFG.visual_context_adapter_patch_size, CFG.dit.eps,
+    )[0]
+    n_vis = vis_tok.shape[0]
+
+    cfg_wide = CFG.replace(max_context_len=64)  # v1 layout needs 46 tokens
+    m = build_mixed_context(
+        companions, cfg_wide, context=ctx, aligned_emb=aligned, visual_emb=vis,
+        ref_images=vis, special_tokens=st, order="v1",
+    )
+    # layout: <img> vis <img> | <img> ref <img> | <ipl> a <ipl> | <prp> t <prp>
+    i = 0
+    for item in (vis_tok, vis_tok):
+        np.testing.assert_allclose(np.asarray(m[i]), np.asarray(st["<img_st>"][0]))
+        np.testing.assert_allclose(
+            np.asarray(m[i + 1:i + 1 + n_vis]), np.asarray(vis_tok), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(m[i + 1 + n_vis]), np.asarray(st["<img_ed>"][0]))
+        i += n_vis + 2
+    np.testing.assert_allclose(np.asarray(m[i]), np.asarray(st["<ipl_st>"][0]))
+    np.testing.assert_allclose(np.asarray(m[i + 1:i + 5]), np.asarray(aligned))
+    np.testing.assert_allclose(np.asarray(m[i + 5]), np.asarray(st["<ipl_ed>"][0]))
+    i += 6
+    np.testing.assert_allclose(np.asarray(m[i]), np.asarray(st["<prp_st>"][0]))
+    np.testing.assert_allclose(np.asarray(m[i + 1:i + 11]), np.asarray(ctx), rtol=1e-6)
+
+
 def test_i2v_y_conditioning():
     """y channel-concat doubles in_dim (reference model.py:451-452)."""
     import jax
