@@ -42,6 +42,7 @@ class Qwen3TextConfig:
     num_experts_per_tok: int = 8
     moe_intermediate_size: int = 768
     norm_topk_prob: bool = True
+    moe_impl: str = "ragged"  # "ragged" | "megablox" (TPU Pallas) | "dense"
 
 
 def _rms(x, w, eps):
@@ -69,15 +70,22 @@ def _mlp(p, x):
     return (g * (x @ p["up"])) @ p["down"]
 
 
-def _moe(p, x, cfg: Qwen3TextConfig):
-    """Exact dense-mixture MoE: softmax router → top-k → weighted sum."""
-    B, L, D = x.shape
-    xt = x.reshape(B * L, D)
+def _router(p, xt, cfg: Qwen3TextConfig):
+    """softmax router → top-k (HF Qwen3MoeSparseMoeBlock semantics)."""
     logits = (xt @ p["gate"]).astype(jnp.float32)  # [T, E]
     probs = jax.nn.softmax(logits, axis=-1)
     topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     if cfg.norm_topk_prob:
         topv = topv / jnp.sum(topv, -1, keepdims=True)
+    return topv, topi, probs
+
+
+def _moe_dense(p, x, cfg: Qwen3TextConfig):
+    """Exact dense-mixture MoE oracle: every expert for every token, one-hot
+    combine. O(E·T·D·M) — reference semantics, used for parity checks."""
+    B, L, D = x.shape
+    xt = x.reshape(B * L, D)
+    topv, topi, probs = _router(p, xt, cfg)
     # dense combine weights [T, E]
     w = jax.vmap(lambda wi, ii, vv: wi.at[ii].set(vv))(
         jnp.zeros_like(probs), topi, topv
@@ -87,6 +95,51 @@ def _moe(p, x, cfg: Qwen3TextConfig):
     u = jnp.einsum("td,edm->etm", xt, p["experts"]["up"])
     o = jnp.einsum("etm,emd->etd", jax.nn.silu(g) * u, p["experts"]["down"])
     y = jnp.einsum("te,etd->td", w.astype(o.dtype), o)
+    return y.reshape(B, L, D)
+
+
+def _grouped_matmul(xs, w, group_sizes, impl: str):
+    """[S, D] × [E, D, M] with expert-contiguous rows → [S, M]."""
+    if impl == "megablox":
+        # Pallas grouped-GEMM kernel (per-expert MXU tiles, no padding waste)
+        import jax.experimental.pallas.ops.tpu.megablox as mb
+
+        return mb.gmm(xs, w, group_sizes, preferred_element_type=xs.dtype)
+    return jax.lax.ragged_dot(xs, w, group_sizes)
+
+
+def _moe(p, x, cfg: Qwen3TextConfig):
+    """Grouped-GEMM MoE: sort (token, expert) pairs by expert, run per-expert
+    contiguous GEMMs (MXU tiled, static shapes), scatter-add back.
+    O(k·T·D·M) — E/k× fewer FLOPs than the dense mixture (16× for
+    Qwen3-VL-30B-A3B's 128-expert/top-8 FFNs, vllm_model.py:30-31).
+
+    cfg.moe_impl: "ragged" (jax.lax.ragged_dot, portable) or "megablox"
+    (Pallas TPU grouped-GEMM kernel); "dense" falls back to the exact
+    all-experts oracle (_moe_dense)."""
+    if cfg.moe_impl == "dense":
+        return _moe_dense(p, x, cfg)
+    B, L, D = x.shape
+    xt = x.reshape(B * L, D)
+    T = xt.shape[0]
+    k = cfg.num_experts_per_tok
+    E = p["experts"]["gate"].shape[0]
+
+    topv, topi, _ = _router(p, xt, cfg)
+
+    flat_e = topi.reshape(T * k)  # expert id per (token, slot) pair
+    flat_w = topv.reshape(T * k)
+    order = jnp.argsort(flat_e)  # stable sort: pairs grouped by expert
+    tok_of = order // k  # originating token per sorted row
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    xs = xt[tok_of]  # [T·k, D] gathered rows, expert-contiguous
+    g = _grouped_matmul(xs, p["experts"]["gate"], group_sizes, cfg.moe_impl)
+    u = _grouped_matmul(xs, p["experts"]["up"], group_sizes, cfg.moe_impl)
+    o = _grouped_matmul(jax.nn.silu(g) * u, p["experts"]["down"], group_sizes,
+                        cfg.moe_impl)
+    o = o * flat_w[order][:, None].astype(o.dtype)
+    y = jnp.zeros((T, D), o.dtype).at[tok_of].add(o)
     return y.reshape(B, L, D)
 
 

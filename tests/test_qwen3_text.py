@@ -90,3 +90,39 @@ def test_moe_forward_parity():
     np.testing.assert_allclose(
         np.asarray(logits), out.logits.numpy(), rtol=3e-3, atol=3e-3
     )
+
+def test_moe_grouped_matches_dense_oracle():
+    """ragged_dot grouped-GEMM MoE == exact dense mixture, including uneven
+    expert loads and batch dims."""
+    import jax
+
+    from omnivideo_tpu.models.qwen3vl.text_model import _moe, _moe_dense
+
+    cfg = Qwen3TextConfig(
+        vocab_size=8, hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+        num_experts=8, num_experts_per_tok=3, moe_intermediate_size=16,
+        norm_topk_prob=True,
+    )
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    E, D, M = 8, 32, 16
+    p = {
+        "gate": jax.random.normal(ks[0], (D, E)) * 0.5,
+        "experts": {
+            "gate": jax.random.normal(ks[1], (E, D, M)) * 0.1,
+            "up": jax.random.normal(ks[2], (E, D, M)) * 0.1,
+            "down": jax.random.normal(ks[3], (E, M, D)) * 0.1,
+        },
+    }
+    x = jax.random.normal(ks[4], (2, 7, D))
+    ref = _moe_dense(p, x, cfg)
+    out = _moe(p, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # single-token decode shape
+    x1 = x[:1, :1]
+    np.testing.assert_allclose(
+        np.asarray(_moe(p, x1, cfg)), np.asarray(_moe_dense(p, x1, cfg)),
+        rtol=1e-5, atol=1e-5,
+    )
