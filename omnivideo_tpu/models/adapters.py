@@ -200,3 +200,83 @@ def v1_aligned_embedding(
         return dm_adapter_apply(adapter_params, heads[:, 0:1])
     per = dm_adapter_apply(adapter_params, heads.reshape(B * Q, 1, D))  # [B·Q, 256, out]
     return per.reshape(B, Q * per.shape[1], per.shape[2])
+
+
+# ---------------------------------------------------------------------------
+# random init (from-scratch training / tests)
+# ---------------------------------------------------------------------------
+
+
+def _init_counter_keys(key):
+    ctr = [0]
+
+    def nk():
+        ctr[0] += 1
+        return jax.random.fold_in(key, ctr[0])
+
+    return nk
+
+
+def _init_attn(nk, d):
+    return {
+        "in_proj_w": jax.random.normal(nk(), (3 * d, d)) * 0.05,
+        "in_proj_b": jnp.zeros((3 * d,)),
+        "out_proj_w": jax.random.normal(nk(), (d, d)) * 0.05,
+        "out_proj_b": jnp.zeros((d,)),
+    }
+
+
+def _init_ln(d):
+    return {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+
+def _init_ffn(nk, d, ffn):
+    return {
+        "w1": jax.random.normal(nk(), (ffn, d)) * 0.05, "b1": jnp.zeros((ffn,)),
+        "w2": jax.random.normal(nk(), (d, ffn)) * 0.05, "b2": jnp.zeros((d,)),
+    }
+
+
+def init_transformer_stack(key, d, ffn, n_enc=4, n_dec=4):
+    """Random torch-nn.Transformer-shaped params (norm_first layout)."""
+    nk = _init_counter_keys(key)
+    enc = [
+        {"self_attn": _init_attn(nk, d), "norm1": _init_ln(d),
+         "norm2": _init_ln(d), "ffn": _init_ffn(nk, d, ffn)}
+        for _ in range(n_enc)
+    ]
+    dec = [
+        {"self_attn": _init_attn(nk, d), "cross_attn": _init_attn(nk, d),
+         "norm1": _init_ln(d), "norm2": _init_ln(d), "norm3": _init_ln(d),
+         "ffn": _init_ffn(nk, d, ffn)}
+        for _ in range(n_dec)
+    ]
+    return {
+        "encoder": enc, "decoder": dec,
+        "encoder_norm": _init_ln(d), "decoder_norm": _init_ln(d),
+    }
+
+
+def init_vision_head(key, in_dim, hidden_dim, out_dim, num_queries=4,
+                     num_layers=4, num_heads=8, ffn_mult=4):
+    """Random VisionHead params (vila_with_vision_head.py:36-70 shapes)."""
+    del num_heads  # head count is an apply-time arg
+    nk = _init_counter_keys(key)
+    return {
+        "fc": {
+            "fc1_w": jax.random.normal(nk(), (hidden_dim, in_dim)) * 0.05,
+            "fc1_b": jnp.zeros((hidden_dim,)),
+            "fc2_w": jax.random.normal(nk(), (out_dim, hidden_dim)) * 0.05,
+            "fc2_b": jnp.zeros((out_dim,)),
+        },
+        "decoder_query": jax.random.normal(nk(), (1, num_queries, out_dim)) * 0.05,
+        "transformer": init_transformer_stack(
+            nk(), out_dim, ffn_mult * out_dim, num_layers, num_layers),
+    }
+
+
+def init_dm_adapter(key, in_dim, hidden_dim, out_dim, num_queries=256,
+                    num_layers=4, num_heads=8, ffn_mult=4):
+    """Random DM_Adapter params (adapter.py:50-72 shapes)."""
+    return init_vision_head(key, in_dim, hidden_dim, out_dim, num_queries,
+                            num_layers, num_heads, ffn_mult)

