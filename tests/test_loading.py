@@ -143,3 +143,44 @@ def test_omni_video_generator_t2v(ckpt_dir):
         size=(16, 16), frame_num=5, sampling_steps=2, guide_scale=3.0, seed=0,
     )
     assert video.shape == (3, 5, 16, 16)
+
+
+def test_hf_safetensors_reader_roundtrip(tmp_path):
+    """io/hf_reader: direct safetensors read == torch state_dict, and the
+    derived config drives a working forward."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    from omnivideo_tpu.io.hf_reader import (
+        load_hf_safetensors,
+        qwen3_text_config_from_hf,
+    )
+    from omnivideo_tpu.models.qwen3vl.text_model import hf_to_params, qwen3_forward
+
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=16,
+        decoder_sparse_step=1, rope_theta=10000.0, norm_topk_prob=True,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = Qwen3MoeForCausalLM(hf_cfg).eval()
+    m.save_pretrained(tmp_path)
+
+    sd = load_hf_safetensors(str(tmp_path))
+    ref_sd = m.state_dict()
+    assert set(sd) == set(ref_sd)
+    for k in sd:
+        np.testing.assert_array_equal(sd[k], ref_sd[k].float().numpy())
+
+    cfg = qwen3_text_config_from_hf(str(tmp_path))
+    assert cfg.num_experts == 4 and cfg.head_dim == 16
+    params = hf_to_params({k: np.asarray(v, np.float32) for k, v in sd.items()}, cfg)
+    ids = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    _, logits = qwen3_forward(params, cfg, ids)
+    with torch.no_grad():
+        ref = m(torch.tensor([[1, 5, 9, 2]])).logits.numpy()
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=3e-3, atol=3e-3)

@@ -21,6 +21,8 @@ import sys
 import time
 from pathlib import Path
 
+import numpy as np
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 log = logging.getLogger("sft_vlm")
@@ -132,15 +134,20 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     if args.model_path:
-        from omnivideo_tpu.models.qwen3vl.full_model import Qwen3VLConfig  # noqa: F401
+        from omnivideo_tpu.io.hf_reader import (
+            load_hf_safetensors,
+            qwen3_text_config_from_hf,
+        )
         from omnivideo_tpu.models.qwen3vl.text_model import hf_to_params
 
-        raise SystemExit(
-            "HF checkpoint SFT: load with models.qwen3vl.text_model.hf_to_params "
-            "and pass params here; wired for --dummy_data smoke in this env"
-        )
-    cfg = _tiny_cfg()  # without --model_path only the smoke config applies
-    params = {"lm": _random_lm_params(key, cfg)}
+        cfg = qwen3_text_config_from_hf(args.model_path)
+        sd = load_hf_safetensors(args.model_path)
+        sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+        params = {"lm": hf_to_params(sd, cfg)}
+        log.info("loaded HF checkpoint %s (%d tensors)", args.model_path, len(sd))
+    else:
+        cfg = _tiny_cfg()  # without --model_path only the smoke config applies
+        params = {"lm": _random_lm_params(key, cfg)}
     if args.align_weight > 0:
         from omnivideo_tpu.models.adapters import init_dm_adapter, init_vision_head
 
