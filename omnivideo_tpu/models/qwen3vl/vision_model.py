@@ -153,8 +153,14 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
     N, hd = cfg.num_heads, cfg.head_dim
     L = x.shape[0]
 
-    deepstack: List[jnp.ndarray] = []
-    for i, bp in enumerate(params["blocks"]):
+    taps = tuple(cfg.deepstack_visual_indexes)
+    # one boolean per layer: emit this layer's activations for deepstack
+    tap_flags = jnp.asarray(
+        [i in taps for i in range(cfg.depth)], jnp.bool_
+    )
+
+    def block(x, scanned):
+        bp, tap = scanned
         hn = _ln(x, bp["norm1"])
         qkv = hn @ bp["qkv_w"] + bp["qkv_b"]  # [L, 3·D]
         q, k, v = jnp.split(qkv.reshape(L, 3, N, hd), 3, axis=1)
@@ -175,11 +181,15 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
         x = x + o
         hn = _ln(x, bp["norm2"])
         x = x + _act(hn @ bp["mlp_fc1_w"] + bp["mlp_fc1_b"], cfg.hidden_act) @ bp["mlp_fc2_w"] + bp["mlp_fc2_b"]
+        # zero out non-tapped layers so the stacked output stays cheap to
+        # fuse; the actual gather happens once after the scan
+        return x, jnp.where(tap, x, jnp.zeros_like(x))
 
-        if i in cfg.deepstack_visual_indexes:
-            mp = params["deepstack"][cfg.deepstack_visual_indexes.index(i)]
-            deepstack.append(_merger(mp, x, cfg, postshuffle=True))
-
+    x, tapped = jax.lax.scan(block, x, (params["blocks"], tap_flags))
+    deepstack: List[jnp.ndarray] = [
+        _merger(params["deepstack"][j], tapped[i], cfg, postshuffle=True)
+        for j, i in enumerate(taps)
+    ]
     return _merger(params["merger"], x, cfg, postshuffle=False), deepstack
 
 
@@ -234,6 +244,10 @@ def vision_hf_to_params(sd, cfg: Qwen3VLVisionConfig):
                 "mlp_fc2_b": g(f"{p}.mlp.linear_fc2.bias"),
             }
         )
+    # stack blocks for the lax.scan over layers in vision_forward
+    params["blocks"] = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *params["blocks"]
+    )
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
