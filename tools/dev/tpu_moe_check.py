@@ -1,0 +1,64 @@
+"""On-chip validation + micro-bench of MoE grouped-matmul backends.
+
+Run deliberately on a quiet TPU (compile can take minutes — do NOT kill
+mid-compile; a killed job wedges the device tunnel for ~30 min):
+
+    python tools/dev/tpu_moe_check.py [--full]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+
+
+def amort(fn, *args, n=20):
+    @jax.jit
+    def run(*a):
+        def body(c, _):
+            return c + fn(*a) * 1e-9, None
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=n)
+        return c
+
+    run(*args)
+    float(run(*args))
+    t0 = time.perf_counter()
+    float(run(*args))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="Qwen3-30B-A3B-like shapes")
+    args = ap.parse_args()
+    import jax.experimental.pallas.ops.tpu.megablox as mb
+
+    if args.full:
+        E, D, M, S = 128, 2048, 768, 8192
+    else:
+        E, D, M, S = 8, 256, 256, 512
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    W = jax.random.normal(ks[0], (E, D, M), jnp.bfloat16) * 0.05
+    xs = jax.random.normal(ks[1], (S, D), jnp.bfloat16)
+    gs = jnp.full((E,), S // E, jnp.int32)
+
+    t0 = time.perf_counter()
+    out = jax.jit(lambda xs, W, gs: mb.gmm(xs, W, gs))(xs, W, gs)
+    ref = jax.jit(lambda xs, W, gs: jax.lax.ragged_dot(xs, W, gs))(xs, W, gs)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    print(f"compile+first-run {time.perf_counter()-t0:.1f}s  max|gmm-ragged|={err:.3e}")
+
+    t_g = amort(lambda: jnp.sum(mb.gmm(xs, W, gs)).astype(jnp.float32))
+    t_r = amort(lambda: jnp.sum(jax.lax.ragged_dot(xs, W, gs)).astype(jnp.float32))
+    flops = 2 * S * D * M
+    print(f"megablox: {t_g:.3f} ms ({flops/t_g/1e9:.0f} GFLOP/s)")
+    print(f"ragged_dot: {t_r:.3f} ms ({flops/t_r/1e9:.0f} GFLOP/s)")
+
+
+if __name__ == "__main__":
+    main()
