@@ -218,18 +218,22 @@ def build_mixed_context_batch(
     vlm: Optional[jnp.ndarray] = None,
     visual_emb: Optional[jnp.ndarray] = None,
     special_tokens: Optional[Dict[str, jnp.ndarray]] = None,
+    aligned_emb: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Batched mixed-context assembly for training.
 
     text_ctx: [B, Lt, text_dim] (zero-padded — matching the reference
     collate's pad-to-max, omnivideo_dataset_patched.py:96-234, which the tight
-    concat then includes); vlm: [B, Lv, vlm_dim]; visual_emb: [B, C, F, h, w].
+    concat then includes); vlm: [B, Lv, vlm_dim]; visual_emb: [B, C, F, h, w];
+    aligned_emb: [B, La, text_dim] precomputed adapter-chain features (the v1
+    offline dataset's `aligned_emb` key, omnivideo_dataset_patched.py:16-95),
+    sandwiched with <ipl_st>/<ipl_ed> when present (omni_video_model.py:357-368).
     Returns [B, max_context_len, text_dim]. All lengths static → jit-stable.
     """
     td = cfg.dit.text_dim
     parts = []
     B = None
-    for a in (text_ctx, vlm, visual_emb):
+    for a in (text_ctx, vlm, visual_emb, aligned_emb):
         if a is not None:
             B = a.shape[0]
             break
@@ -243,6 +247,12 @@ def build_mixed_context_batch(
     if vlm is not None:
         h = rms_norm(vlm, companions["vlm_norm"], cfg.dit.eps)
         parts.append(_dense(companions["vlm_proj"], h).astype(jnp.float32))
+    if aligned_emb is not None:
+        a = aligned_emb.astype(jnp.float32)
+        if special_tokens is not None and "<ipl_st>" in special_tokens:
+            parts.extend([tok("<ipl_st>"), a, tok("<ipl_ed>")])
+        else:
+            parts.append(a)
     if text_ctx is not None:
         if special_tokens is not None:
             parts.extend([tok("<prp_st>"), text_ctx.astype(jnp.float32), tok("<prp_ed>")])

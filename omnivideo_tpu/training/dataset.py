@@ -57,6 +57,7 @@ class PadSpec:
     text_len: int = 512
     vlm_len: int = 512
     latent_frames: int = 21
+    aligned_len: int = 256
 
 
 class OmniVideoDataset:
@@ -147,6 +148,14 @@ def collate(samples: Sequence[Dict[str, np.ndarray]], pad: PadSpec) -> Dict[str,
                 v = v[0]
             vl.append(_pad_to(v, pad.vlm_len))
         out["vlm"] = np.stack(vl)
+    if "aligned_emb" in b0:
+        al = []
+        for s_ in samples:
+            a = np.asarray(s_["aligned_emb"], np.float32)
+            if a.ndim == 3:
+                a = a[0]
+            al.append(_pad_to(a, pad.aligned_len))
+        out["aligned_emb"] = np.stack(al)
     key = "latent_feature_tgt" if "latent_feature_tgt" in b0 else "latent_feature"
     out["latents"] = np.stack(
         [_pad_to(np.asarray(s[key], np.float32), pad.latent_frames, axis=1) for s in samples]
@@ -193,6 +202,8 @@ def make_dummy_dataset(
     vlm_dim: int = 2048,
     seed: int = 0,
     with_source: bool = True,
+    with_aligned: bool = False,
+    aligned_len: int = 8,
 ):
     """Fabricate feature fixtures with reference-compatible keys/shapes
     (role of create_dummy_dataset, omnivideo_dataset_patched.py:277-321)."""
@@ -212,6 +223,10 @@ def make_dummy_dataset(
             sample["latent_feature_tgt"] = rng.standard_normal(latent_shape).astype(
                 np.float32
             )
+        if with_aligned:
+            sample["aligned_emb"] = rng.standard_normal(
+                (aligned_len, text_dim)
+            ).astype(np.float32)
         np.savez_compressed(rootp / f"sample_{i:05d}.npz", **sample)
     return rootp
 

@@ -162,7 +162,9 @@ def make_unified_train_step(
 
     params pytree: {'wan': <DiT>, 'companions': <vlm_norm/vlm_proj/vca>}.
     batch: {'latents': [B,C,F,h,w], 'context': [B,Lt,text_dim],
-            'vlm': [B,Lv,vlm_dim] (optional), 'visual_emb': [B,C,F,h,w] (optional)}
+            'vlm': [B,Lv,vlm_dim] (optional), 'visual_emb': [B,C,F,h,w]
+            (optional), 'aligned_emb': [B,La,text_dim] (optional — the v1
+            offline dataset's adapter-chain features)}
 
     CFG dropout (reference unified_model.py:157-192): with prob cfg_dropout a
     sample's conditioning is replaced by the unconditional variant — here both
@@ -196,9 +198,10 @@ def make_unified_train_step(
         comp = params["companions"]
         vlm = batch.get("vlm")
         visual = batch.get("visual_emb")
+        aligned = batch.get("aligned_emb")
         mixed_c = build_mixed_context_batch(
             comp, cfg, text_ctx=batch["context"], vlm=vlm, visual_emb=visual,
-            special_tokens=special_tokens,
+            special_tokens=special_tokens, aligned_emb=aligned,
         )
         if tc.cfg_dropout > 0:
             # unconditional variant: zero text + 2-token null VLM, keeping
@@ -208,9 +211,12 @@ def make_unified_train_step(
                 vlm_null = jnp.broadcast_to(
                     null_ar_vision(vlm.shape[-1])[None], (B, 2, vlm.shape[-1])
                 )
+            # visual/aligned stay in the uncond variant: dropout targets the
+            # text + VLM conditioning (unified_model.py:176-190)
             mixed_u = build_mixed_context_batch(
                 comp, cfg, text_ctx=jnp.zeros_like(batch["context"]),
                 vlm=vlm_null, visual_emb=visual, special_tokens=special_tokens,
+                aligned_emb=aligned,
             )
             drop = jax.random.uniform(k_cfg, (B,)) < tc.cfg_dropout
             mixed_c = jnp.where(drop[:, None, None], mixed_u, mixed_c)

@@ -180,3 +180,61 @@ def test_i2v_y_conditioning():
     ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 48))
     out = wan_dit_apply(params, cfg, x, jnp.array([500.0]), ctx, y=y, attn_impl="xla")
     assert out.shape == (1, 4, 3, 8, 8)
+
+
+def test_batched_aligned_emb(golden):
+    """Training-path batched assembly places <ipl> aligned features between
+    VLM and text (v2 order), matching the per-sample builder."""
+    sd = {k[len("sd::"):]: golden[k] for k in golden.files if k.startswith("sd::")}
+    _, comp_sd = split_unified_state_dict(sd)
+    companions = to_jnp(unified_companions_to_params(comp_sd))
+    from omnivideo_tpu.models.unified import build_mixed_context_batch
+
+    ctx = jnp.asarray(golden["ctx"])[None]  # [1, 10, 48]
+    aligned = jnp.full((1, 4, 48), 0.3, jnp.float32)
+    st = {
+        "<ipl_st>": jnp.full((1, 48), 3.0), "<ipl_ed>": jnp.full((1, 48), 4.0),
+        "<prp_st>": jnp.full((1, 48), 5.0), "<prp_ed>": jnp.full((1, 48), 6.0),
+        "<img_st>": jnp.full((1, 48), 1.0), "<img_ed>": jnp.full((1, 48), 2.0),
+    }
+    mb = build_mixed_context_batch(
+        companions, CFG, text_ctx=ctx, aligned_emb=aligned, special_tokens=st
+    )
+    ms = build_mixed_context(
+        companions, CFG, context=ctx[0], aligned_emb=aligned[0],
+        special_tokens=st, condition_mode="full",
+    )
+    np.testing.assert_allclose(np.asarray(mb[0]), np.asarray(ms), rtol=1e-6)
+
+
+def test_unified_train_step_with_aligned_emb():
+    """make_unified_train_step accepts the v1 dataset's aligned_emb key."""
+    import jax
+
+    from omnivideo_tpu.models.unified import init_unified_companions
+    from omnivideo_tpu.models.wan_dit import init_wan_dit
+    from omnivideo_tpu.training.trainer import (
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_unified_train_step,
+    )
+
+    cfg = CFG.replace(param_dtype="float32")
+    dit_cfg = cfg.dit.replace(text_len=cfg.max_context_len)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        "wan": init_wan_dit(k1, dit_cfg, dtype=jnp.float32),
+        "companions": init_unified_companions(k2, cfg),
+    }
+    tc = TrainConfig(total_steps=4, warmup_steps=1, cfg_dropout=0.5, remat=False)
+    tx = make_optimizer(tc)
+    step = jax.jit(make_unified_train_step(cfg, tc, tx, attn_impl="xla"))
+    state = init_train_state(params, tx)
+    batch = {
+        "latents": jnp.zeros((2, 4, 3, 8, 8), jnp.float32),
+        "context": jax.random.normal(jax.random.PRNGKey(1), (2, 8, 48)),
+        "aligned_emb": jax.random.normal(jax.random.PRNGKey(2), (2, 4, 48)),
+    }
+    state, m = step(state, batch, jax.random.PRNGKey(3))
+    assert bool(jnp.isfinite(m["loss"]))

@@ -53,6 +53,8 @@ def parse_args():
     p.add_argument("--walltime", type=float, default=None,
                    help="seconds; stop+checkpoint before this walltime")
     p.add_argument("--dummy_data", action="store_true")
+    p.add_argument("--with_aligned", action="store_true",
+                   help="dummy data includes v1 aligned_emb features")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None)
     return p.parse_args()
@@ -123,6 +125,7 @@ def main():
         text_len=min(64, cfg.max_context_len) if args.tiny else 512,
         vlm_len=16 if args.tiny else 512,
         latent_frames=3 if args.tiny else 21,
+        aligned_len=8 if args.tiny else 256,
     )
     tasks = {}
     if args.dummy_data:
@@ -134,6 +137,7 @@ def main():
             latent_shape=(cfg.dit.in_dim, 3, 8, 8),
             text_dim=cfg.dit.text_dim,
             vlm_dim=cfg.vlm_in_dim,
+            with_aligned=args.with_aligned,
         )
         tasks["t2v"] = (OmniVideoDataset(str(root)), 1.0)
     else:
