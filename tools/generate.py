@@ -61,6 +61,12 @@ def parse_args():
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace of generation into this dir")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--condition_mode", default="auto",
+                   choices=["auto", "full", "text_only", "aligned_emb_with_text",
+                            "aligned_emb_only", "visual_with_aligned_emb"],
+                   help="v1 condition modes (reference generate.py:453)")
+    p.add_argument("--token_order", default="v2", choices=["v2", "v1"],
+                   help="mixed-context assembly order (v1 = omni_video_model.py:337)")
     return p.parse_args()
 
 
@@ -207,8 +213,19 @@ def main():
 
             prof_cm = contextlib.nullcontext()
         with prof_cm:
+            aligned_emb = None
+            if args.features_dir:
+                f = Path(args.features_dir) / f"sample_{sample_id}.npz"
+                if f.exists():
+                    data = np.load(f, allow_pickle=True)
+                    if "aligned_emb" in data:
+                        a = np.asarray(data["aligned_emb"], np.float32)
+                        aligned_emb = jnp.asarray(a[0] if a.ndim == 3 else a)
             video = pipe.generate(
                 visual_emb=visual_emb,
+                aligned_emb=aligned_emb,
+                condition_mode=args.condition_mode,
+                token_order=args.token_order,
                 size=size,
                 frame_num=frame_num,
                 shift=shift,
