@@ -1,0 +1,220 @@
+"""Fused ring flash-attention Pallas kernel (RDMA K/V rotation).
+
+Role of reference `.../llava/train/sequence_parallel/ring/ring_flash_attn.py:
+26-73` + `ring/utils.py:29-40` (RingComm P2P K/V rotation overlapping
+send_recv with flash compute, online LSE merge). The TPU-native form fuses
+both into ONE kernel per ring step: the remote DMA of this shard's K/V to the
+right neighbor starts at the first grid cell, the full flash-attention tile
+pipeline runs while the ICI transfer is in flight, and the semaphore waits
+land at the last grid cell. The step loop (`lax.fori_loop` under `shard_map`)
+double-buffers K/V through the loop carry.
+
+Forward-only (inference/serving path); training-side ring attention uses the
+differentiable ppermute form in `parallel/ring.py`. Runs on real TPUs
+(interpret=False) and under the Mosaic TPU interpreter on a virtual CPU mesh
+(interpret=True) — which is how the unit tests exercise the RDMA semantics
+without multi-chip hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _step_kernel(
+    # blocked VMEM inputs (grid: heads, q blocks, kv blocks)
+    q_ref,      # [1, bq, D]
+    k_ref,      # [1, bk, D]
+    v_ref,      # [1, bk, D]
+    m_ref,      # [1, bq]     carried max
+    l_ref,      # [1, bq]     carried sum
+    a_ref,      # [1, bq, D]  carried accumulator
+    k_any,      # ANY [H, L, D] — same array as k_ref's source, for the send
+    v_any,      # ANY [H, L, D]
+    # outputs
+    mo_ref, lo_ref, ao_ref,          # aliased carries
+    k_next_any, v_next_any,          # ANY recv buffers (written by LEFT peer)
+    # scratch
+    ms, ls, accs,                    # VMEM [bq] [bq] [bq, D] f32
+    send_k, recv_k, send_v, recv_v,  # DMA semaphores
+    *,
+    scale: float,
+    kv_steps: int,
+    axis_name: str,
+):
+    h, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_dev = jax.lax.axis_size(axis_name)
+    right = jax.lax.rem(jax.lax.axis_index(axis_name) + 1, n_dev)
+
+    copy_k = pltpu.make_async_remote_copy(
+        src_ref=k_any, dst_ref=k_next_any, send_sem=send_k, recv_sem=recv_k,
+        device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    copy_v = pltpu.make_async_remote_copy(
+        src_ref=v_any, dst_ref=v_next_any, send_sem=send_v, recv_sem=recv_v,
+        device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+
+    @pl.when((h == 0) & (qi == 0) & (ki == 0))
+    def _start_ring_send():
+        copy_k.start()
+        copy_v.start()
+
+    @pl.when(ki == 0)
+    def _load_carry():
+        ms[...] = m_ref[0].astype(jnp.float32)
+        ls[...] = l_ref[0].astype(jnp.float32)
+        accs[...] = a_ref[0].astype(jnp.float32)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                   # [bq, bk]
+    m_blk = jnp.max(s, axis=1)
+    m_new = jnp.maximum(ms[...], m_blk)
+    p = jnp.exp(s - m_new[:, None])
+    corr = jnp.exp(ms[...] - m_new)
+    ls[...] = ls[...] * corr + jnp.sum(p, axis=1)
+    accs[...] = accs[...] * corr[:, None] + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ms[...] = m_new
+
+    @pl.when(ki == kv_steps - 1)
+    def _store_carry():
+        mo_ref[0] = ms[...]
+        lo_ref[0] = ls[...]
+        ao_ref[0] = accs[...]
+
+    last = (
+        (h == pl.num_programs(0) - 1)
+        & (qi == pl.num_programs(1) - 1)
+        & (ki == kv_steps - 1)
+    )
+
+    @pl.when(last)
+    def _finish_ring():
+        copy_k.wait()
+        copy_v.wait()
+
+
+def _ring_step(q, k, v, m, l, acc, *, scale, block_q, block_k, axis_name,
+               interpret):
+    """One fused step: flash(q, k, v) accumulated into (m, l, acc) while
+    k/v stream to the right neighbor. Returns (m, l, acc, k_next, v_next)."""
+    H, Lq, D = q.shape
+    Lk = k.shape[1]
+    bq = min(block_q, Lq)
+    bk = min(block_k, Lk)
+    assert Lq % bq == 0 and Lk % bk == 0, (Lq, bq, Lk, bk)
+    kv_steps = Lk // bk
+    grid = (H, Lq // bq, kv_steps)
+
+    ANY = pltpu.MemorySpace.ANY
+
+    kernel = functools.partial(
+        _step_kernel, scale=scale, kv_steps=kv_steps, axis_name=axis_name
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((H, Lq), jnp.float32),      # m
+        jax.ShapeDtypeStruct((H, Lq), jnp.float32),      # l
+        jax.ShapeDtypeStruct((H, Lq, D), jnp.float32),   # acc
+        jax.ShapeDtypeStruct(k.shape, k.dtype),          # k_next
+        jax.ShapeDtypeStruct(v.shape, v.dtype),          # v_next
+    ]
+    qs = lambda h, i, j: (h, i, 0)
+    ks = lambda h, i, j: (h, j, 0)
+    cs = lambda h, i, j: (h, i)
+    m2, l2, a2, k_next, v_next = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), qs),
+            pl.BlockSpec((1, bk, D), ks),
+            pl.BlockSpec((1, bk, D), ks),
+            pl.BlockSpec((1, bq), cs),
+            pl.BlockSpec((1, bq), cs),
+            pl.BlockSpec((1, bq, D), qs),
+            pl.BlockSpec(memory_space=ANY),
+            pl.BlockSpec(memory_space=ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq), cs),
+            pl.BlockSpec((1, bq), cs),
+            pl.BlockSpec((1, bq, D), qs),
+            pl.BlockSpec(memory_space=ANY),
+            pl.BlockSpec(memory_space=ANY),
+        ],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((bq,), jnp.float32),
+            pltpu.VMEM((bq,), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(collective_id=7),
+    )(q, k, v, m, l, acc, k, v)
+    return m2, l2, a2, k_next, v_next
+
+
+def ring_flash_attention_shard(
+    q: jnp.ndarray,  # [B, Lq_loc, N, D] — this shard's queries
+    k: jnp.ndarray,  # [B, Lk_loc, N, D]
+    v: jnp.ndarray,
+    axis_name: str = "seq",
+    softmax_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Call INSIDE shard_map with q/k/v sequence-sharded over `axis_name`.
+
+    n_dev fused steps; step s attends this shard's Q against the K/V shard
+    originating s hops left, K/V riding the ICI ring one hop per step.
+    """
+    B, Lq, N, D = q.shape
+    scale = float(softmax_scale) if softmax_scale else float(1.0 / np.sqrt(D))
+    n_dev = jax.lax.psum(1, axis_name)
+
+    # fold batch into heads; kernel layout [H, L, D]
+    to_hld = lambda x: x.transpose(0, 2, 1, 3).reshape(B * N, x.shape[1], D)
+    qh, kh, vh = to_hld(q), to_hld(k), to_hld(v)
+    H = B * N
+
+    m0 = jnp.full((H, Lq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((H, Lq), jnp.float32)
+    a0 = jnp.zeros((H, Lq, D), jnp.float32)
+
+    step = functools.partial(
+        _ring_step, qh, scale=scale, block_q=block_q, block_k=block_k,
+        axis_name=axis_name, interpret=interpret,
+    )
+
+    def body(_, carry):
+        m, l, acc, kc, vc = carry
+        m, l, acc, kn, vn = step(kc, vc, m, l, acc)
+        return (m, l, acc, kn, vn)
+
+    m, l, acc, _, _ = jax.lax.fori_loop(
+        0, n_dev, body, (m0, l0, a0, kh, vh)
+    )
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return (
+        out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3).astype(q.dtype)
+    )

@@ -100,16 +100,33 @@ def ring_attention(
     axis: str = "seq",
     causal: bool = False,
     softmax_scale: Optional[float] = None,
+    impl: str = "ppermute",
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Global-view wrapper: shard along L over `axis`, run ring attention."""
+    """Global-view wrapper: shard along L over `axis`, run ring attention.
+
+    impl="ppermute": XLA collective-permute K/V rotation (differentiable).
+    impl="pallas": fused single-kernel ring flash attention — the remote DMA
+    of K/V to the next device overlaps the flash tile pipeline inside one
+    Pallas kernel (ops/pallas/ring_attention.py; forward-only)."""
     n = mesh.shape[axis]
     B, L, N, D = q.shape
     assert L % n == 0, (L, n)
     spec = P(None, axis, None, None)
-    fn = jax.shard_map(
-        functools.partial(
+    if impl == "pallas":
+        assert not causal, "fused pallas ring kernel is non-causal (DiT path)"
+        from ..ops.pallas.ring_attention import ring_flash_attention_shard
+
+        local = functools.partial(
+            ring_flash_attention_shard, axis_name=axis,
+            softmax_scale=softmax_scale, interpret=interpret,
+        )
+    else:
+        local = functools.partial(
             ring_attention_local, axis=axis, causal=causal, softmax_scale=softmax_scale
-        ),
+        )
+    fn = jax.shard_map(
+        local,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -1,0 +1,91 @@
+"""Fused ring flash-attention Pallas kernel under the Mosaic TPU interpreter
+on a virtual CPU mesh — validates the RDMA K/V rotation + online merge
+against single-device attention and the ppermute ring implementation."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from omnivideo_tpu.ops import attention_xla
+from omnivideo_tpu.ops.pallas.ring_attention import ring_flash_attention_shard
+
+
+def _mesh(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} virtual devices")
+    return Mesh(np.array(devs[:n]), ("seq",))
+
+
+@pytest.mark.parametrize("B,L,N,D,ndev", [(1, 512, 2, 128, 4), (2, 256, 4, 128, 2)])
+def test_ring_pallas_matches_full_attention(B, L, N, D, ndev):
+    mesh = _mesh(ndev)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+
+    ref = attention_xla(q, k, v)
+
+    fn = shard_map(
+        functools.partial(
+            ring_flash_attention_shard, axis_name="seq", interpret=True,
+            block_q=128, block_k=128,
+        ),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_rep=False,
+    )
+    out = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_ring_pallas_matches_ppermute_ring():
+    from omnivideo_tpu.parallel.ring import ring_attention_local
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(1)
+    B, L, N, D = 1, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+
+    pall = shard_map(
+        functools.partial(
+            ring_flash_attention_shard, axis_name="seq", interpret=True,
+            block_q=128, block_k=128,
+        ),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_rep=False,
+    )(q, k, v)
+    perm = shard_map(
+        functools.partial(ring_attention_local, axis="seq"),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_rep=False,
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(pall), np.asarray(perm), rtol=2e-3, atol=2e-3)
+
+
+def test_ring_attention_global_pallas_impl():
+    """Global-view ring_attention(impl="pallas") == XLA full attention."""
+    from omnivideo_tpu.parallel.ring import ring_attention
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(2)
+    B, L, N, D = 1, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    out = ring_attention(q, k, v, mesh, axis="seq", impl="pallas", interpret=True)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
