@@ -35,8 +35,8 @@ def _step_kernel(
     q_ref,      # [1, bq, D]
     k_ref,      # [1, bk, D]
     v_ref,      # [1, bk, D]
-    m_ref,      # [1, bq]     carried max
-    l_ref,      # [1, bq]     carried sum
+    m_ref,      # [1, bq, 128]  carried max (value broadcast across lanes)
+    l_ref,      # [1, bq, 128]  carried sum (broadcast across lanes)
     a_ref,      # [1, bq, D]  carried accumulator
     k_any,      # ANY [H, L, D] — same array as k_ref's source, for the send
     v_any,      # ANY [H, L, D]
@@ -44,16 +44,31 @@ def _step_kernel(
     mo_ref, lo_ref, ao_ref,          # aliased carries
     k_next_any, v_next_any,          # ANY recv buffers (written by LEFT peer)
     # scratch
-    ms, ls, accs,                    # VMEM [bq] [bq] [bq, D] f32
+    ms, ls, accs,                    # VMEM [bq,128] [bq,128] [bq, D] f32
     send_k, recv_k, send_v, recv_v,  # DMA semaphores
     *,
     scale: float,
     kv_steps: int,
     axis_name: str,
+    use_barrier: bool,
 ):
     h, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_dev = jax.lax.axis_size(axis_name)
-    right = jax.lax.rem(jax.lax.axis_index(axis_name) + 1, n_dev)
+    my_id = jax.lax.axis_index(axis_name)
+    right = jax.lax.rem(my_id + 1, n_dev)
+    left = jax.lax.rem(my_id + n_dev - 1, n_dev)
+
+    if use_barrier:
+        # sync kernel entry with both ring neighbors before any remote DMA
+        # (standard collective-kernel prologue; needs collective_id)
+        @pl.when((h == 0) & (qi == 0) & (ki == 0))
+        def _barrier():
+            sem = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(sem, device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(sem, device_id=right,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(sem, 2)
 
     copy_k = pltpu.make_async_remote_copy(
         src_ref=k_any, dst_ref=k_next_any, send_sem=send_k, recv_sem=recv_k,
@@ -71,9 +86,9 @@ def _step_kernel(
 
     @pl.when(ki == 0)
     def _load_carry():
-        ms[...] = m_ref[0].astype(jnp.float32)
-        ls[...] = l_ref[0].astype(jnp.float32)
-        accs[...] = a_ref[0].astype(jnp.float32)
+        ms[...] = m_ref[0]
+        ls[...] = l_ref[0]
+        accs[...] = a_ref[0]
 
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
@@ -81,12 +96,13 @@ def _step_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                   # [bq, bk]
-    m_blk = jnp.max(s, axis=1)
-    m_new = jnp.maximum(ms[...], m_blk)
-    p = jnp.exp(s - m_new[:, None])
-    corr = jnp.exp(ms[...] - m_new)
-    ls[...] = ls[...] * corr + jnp.sum(p, axis=1)
-    accs[...] = accs[...] * corr[:, None] + jax.lax.dot_general(
+    # row stats live broadcast across the 128-lane minor dim (mosaic tiling)
+    m_blk = jnp.max(s, axis=1, keepdims=True)   # [bq, 1]
+    m_new = jnp.maximum(ms[...], m_blk)         # [bq, 128], lanes equal
+    p = jnp.exp(s - m_new[:, :1])
+    corr = jnp.exp(ms[...] - m_new)             # [bq, 128]
+    ls[...] = ls[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+    accs[...] = accs[...] * corr[:, :1] + jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     ms[...] = m_new
@@ -124,18 +140,19 @@ def _ring_step(q, k, v, m, l, acc, *, scale, block_q, block_k, axis_name,
     ANY = pltpu.MemorySpace.ANY
 
     kernel = functools.partial(
-        _step_kernel, scale=scale, kv_steps=kv_steps, axis_name=axis_name
+        _step_kernel, scale=scale, kv_steps=kv_steps, axis_name=axis_name,
+        use_barrier=not interpret,
     )
     out_shapes = [
-        jax.ShapeDtypeStruct((H, Lq), jnp.float32),      # m
-        jax.ShapeDtypeStruct((H, Lq), jnp.float32),      # l
+        jax.ShapeDtypeStruct((H, Lq, 128), jnp.float32),  # m (lane-broadcast)
+        jax.ShapeDtypeStruct((H, Lq, 128), jnp.float32),  # l
         jax.ShapeDtypeStruct((H, Lq, D), jnp.float32),   # acc
         jax.ShapeDtypeStruct(k.shape, k.dtype),          # k_next
         jax.ShapeDtypeStruct(v.shape, v.dtype),          # v_next
     ]
     qs = lambda h, i, j: (h, i, 0)
     ks = lambda h, i, j: (h, j, 0)
-    cs = lambda h, i, j: (h, i)
+    cs = lambda h, i, j: (h, i, 0)
     m2, l2, a2, k_next, v_next = pl.pallas_call(
         kernel,
         grid=grid,
@@ -143,23 +160,23 @@ def _ring_step(q, k, v, m, l, acc, *, scale, block_q, block_k, axis_name,
             pl.BlockSpec((1, bq, D), qs),
             pl.BlockSpec((1, bk, D), ks),
             pl.BlockSpec((1, bk, D), ks),
-            pl.BlockSpec((1, bq), cs),
-            pl.BlockSpec((1, bq), cs),
+            pl.BlockSpec((1, bq, 128), cs),
+            pl.BlockSpec((1, bq, 128), cs),
             pl.BlockSpec((1, bq, D), qs),
             pl.BlockSpec(memory_space=ANY),
             pl.BlockSpec(memory_space=ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq), cs),
-            pl.BlockSpec((1, bq), cs),
+            pl.BlockSpec((1, bq, 128), cs),
+            pl.BlockSpec((1, bq, 128), cs),
             pl.BlockSpec((1, bq, D), qs),
             pl.BlockSpec(memory_space=ANY),
             pl.BlockSpec(memory_space=ANY),
         ],
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((bq,), jnp.float32),
-            pltpu.VMEM((bq,), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -168,7 +185,9 @@ def _ring_step(q, k, v, m, l, acc, *, scale, block_q, block_k, axis_name,
         ],
         input_output_aliases={3: 0, 4: 1, 5: 2},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(collective_id=7),
+        compiler_params=(
+            None if interpret else pltpu.CompilerParams(collective_id=7)
+        ),
     )(q, k, v, m, l, acc, k, v)
     return m2, l2, a2, k_next, v_next
 
@@ -197,8 +216,8 @@ def ring_flash_attention_shard(
     qh, kh, vh = to_hld(q), to_hld(k), to_hld(v)
     H = B * N
 
-    m0 = jnp.full((H, Lq), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((H, Lq), jnp.float32)
+    m0 = jnp.full((H, Lq, 128), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((H, Lq, 128), jnp.float32)
     a0 = jnp.zeros((H, Lq, D), jnp.float32)
 
     step = functools.partial(
@@ -214,7 +233,7 @@ def ring_flash_attention_shard(
     m, l, acc, _, _ = jax.lax.fori_loop(
         0, n_dev, body, (m0, l0, a0, kh, vh)
     )
-    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    out = acc / jnp.maximum(l[..., :1], 1e-30)
     return (
         out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3).astype(q.dtype)
     )
