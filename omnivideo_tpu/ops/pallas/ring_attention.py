@@ -32,6 +32,7 @@ NEG_INF = -1e30
 
 def _step_kernel(
     # blocked VMEM inputs (grid: heads, q blocks, kv blocks)
+    step_ref,   # SMEM [1, 1] — ring step index s
     q_ref,      # [1, bq, D]
     k_ref,      # [1, bk, D]
     v_ref,      # [1, bk, D]
@@ -51,6 +52,9 @@ def _step_kernel(
     kv_steps: int,
     axis_name: str,
     use_barrier: bool,
+    causal: Optional[str],  # None | "block" | "token"
+    block_q: int,
+    block_k: int,
 ):
     h, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_dev = jax.lax.axis_size(axis_name)
@@ -90,22 +94,37 @@ def _step_kernel(
         ls[...] = l_ref[0]
         accs[...] = a_ref[0]
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                   # [bq, bk]
-    # row stats live broadcast across the 128-lane minor dim (mosaic tiling)
-    m_blk = jnp.max(s, axis=1, keepdims=True)   # [bq, 1]
-    m_new = jnp.maximum(ms[...], m_blk)         # [bq, 128], lanes equal
-    p = jnp.exp(s - m_new[:, :1])
-    corr = jnp.exp(ms[...] - m_new)             # [bq, 128]
-    ls[...] = ls[...] * corr + jnp.sum(p, axis=1, keepdims=True)
-    accs[...] = accs[...] * corr[:, :1] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ms[...] = m_new
+    step = step_ref[0, 0]
+    src = jax.lax.rem(my_id - step + n_dev, n_dev)  # origin shard of this K/V
+    visible = jnp.asarray(True)
+    if causal is not None:
+        # shard-block causality: only shards at or before our own contribute
+        visible = src <= my_id
+
+    @pl.when(visible)
+    def _accumulate():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                   # [bq, bk]
+        if causal == "token":
+            # intra-shard triangle when attending our own shard's K/V
+            qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            kpos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            intra = jnp.where(qpos >= kpos, 0.0, NEG_INF)
+            s = s + jnp.where(src == my_id, intra, jnp.zeros_like(intra))
+        # row stats live broadcast across the 128-lane minor dim (mosaic tiling)
+        m_blk = jnp.max(s, axis=1, keepdims=True)   # [bq, 1]
+        m_new = jnp.maximum(ms[...], m_blk)         # [bq, 128], lanes equal
+        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp(ms[...] - m_new)             # [bq, 128]
+        ls[...] = ls[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        accs[...] = accs[...] * corr[:, :1] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ms[...] = m_new
 
     @pl.when(ki == kv_steps - 1)
     def _store_carry():
@@ -125,8 +144,8 @@ def _step_kernel(
         copy_v.wait()
 
 
-def _ring_step(q, k, v, m, l, acc, *, scale, block_q, block_k, axis_name,
-               interpret):
+def _ring_step(step_idx, q, k, v, m, l, acc, *, scale, block_q, block_k,
+               axis_name, interpret, causal):
     """One fused step: flash(q, k, v) accumulated into (m, l, acc) while
     k/v stream to the right neighbor. Returns (m, l, acc, k_next, v_next)."""
     H, Lq, D = q.shape
@@ -141,7 +160,7 @@ def _ring_step(q, k, v, m, l, acc, *, scale, block_q, block_k, axis_name,
 
     kernel = functools.partial(
         _step_kernel, scale=scale, kv_steps=kv_steps, axis_name=axis_name,
-        use_barrier=not interpret,
+        use_barrier=not interpret, causal=causal, block_q=bq, block_k=bk,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((H, Lq, 128), jnp.float32),  # m (lane-broadcast)
@@ -157,6 +176,7 @@ def _ring_step(q, k, v, m, l, acc, *, scale, block_q, block_k, axis_name,
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
             pl.BlockSpec((1, bq, D), qs),
             pl.BlockSpec((1, bk, D), ks),
             pl.BlockSpec((1, bk, D), ks),
@@ -183,12 +203,12 @@ def _ring_step(q, k, v, m, l, acc, *, scale, block_q, block_k, axis_name,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={3: 0, 4: 1, 5: 2},
+        input_output_aliases={4: 0, 5: 1, 6: 2},
         interpret=interpret,
         compiler_params=(
             None if interpret else pltpu.CompilerParams(collective_id=7)
         ),
-    )(q, k, v, m, l, acc, k, v)
+    )(jnp.asarray(step_idx, jnp.int32).reshape(1, 1), q, k, v, m, l, acc, k, v)
     return m2, l2, a2, k_next, v_next
 
 
@@ -201,11 +221,17 @@ def ring_flash_attention_shard(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    causal: Optional[str] = None,
 ) -> jnp.ndarray:
     """Call INSIDE shard_map with q/k/v sequence-sharded over `axis_name`.
 
     n_dev fused steps; step s attends this shard's Q against the K/V shard
     originating s hops left, K/V riding the ICI ring one hop per step.
+
+    causal: None (full), "block" (shards ≤ own contribute fully — matches
+    parallel/ring.py ring_attention_local(causal=True)), or "token" (true
+    causal: triangular mask within the own shard, like the reference
+    ring_flash_attn.py's causal path at shard granularity).
     """
     B, Lq, N, D = q.shape
     scale = float(softmax_scale) if softmax_scale else float(1.0 / np.sqrt(D))
@@ -221,13 +247,13 @@ def ring_flash_attention_shard(
     a0 = jnp.zeros((H, Lq, D), jnp.float32)
 
     step = functools.partial(
-        _ring_step, qh, scale=scale, block_q=block_q, block_k=block_k,
-        axis_name=axis_name, interpret=interpret,
+        _ring_step, scale=scale, block_q=block_q, block_k=block_k,
+        axis_name=axis_name, interpret=interpret, causal=causal,
     )
 
-    def body(_, carry):
+    def body(i, carry):
         m, l, acc, kc, vc = carry
-        m, l, acc, kn, vn = step(kc, vc, m, l, acc)
+        m, l, acc, kn, vn = step(i, qh, kc, vc, m, l, acc)
         return (m, l, acc, kn, vn)
 
     m, l, acc, _, _ = jax.lax.fori_loop(

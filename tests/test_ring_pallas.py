@@ -89,3 +89,52 @@ def test_ring_attention_global_pallas_impl():
     out = ring_attention(q, k, v, mesh, axis="seq", impl="pallas", interpret=True)
     ref = attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_ring_pallas_block_causal_matches_ppermute():
+    """causal="block" == parallel/ring.py ring_attention_local(causal=True)."""
+    from omnivideo_tpu.parallel.ring import ring_attention_local
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(3)
+    B, L, N, D = 1, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    pall = shard_map(
+        functools.partial(ring_flash_attention_shard, axis_name="seq",
+                          interpret=True, block_q=128, block_k=128,
+                          causal="block"),
+        mesh=mesh, in_specs=(P(None, "seq"),) * 3, out_specs=P(None, "seq"),
+        check_rep=False,
+    )(q, k, v)
+    perm = shard_map(
+        functools.partial(ring_attention_local, axis="seq", causal=True),
+        mesh=mesh, in_specs=(P(None, "seq"),) * 3, out_specs=P(None, "seq"),
+        check_rep=False,
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(pall), np.asarray(perm), rtol=2e-3, atol=2e-3)
+
+
+def test_ring_pallas_token_causal_matches_oracle():
+    """causal="token" == dense token-causal attention."""
+    mesh = _mesh(4)
+    rng = np.random.default_rng(4)
+    B, L, N, D = 1, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+
+    s = jnp.einsum("bind,bjnd->bnij", q, k) / np.sqrt(D)
+    mask = jnp.tril(jnp.ones((L, L), bool))
+    s = jnp.where(mask[None, None], s, -1e30)
+    ref = jnp.einsum("bnij,bjnd->bind", jax.nn.softmax(s, axis=-1), v)
+
+    out = shard_map(
+        functools.partial(ring_flash_attention_shard, axis_name="seq",
+                          interpret=True, block_q=128, block_k=128,
+                          causal="token"),
+        mesh=mesh, in_specs=(P(None, "seq"),) * 3, out_specs=P(None, "seq"),
+        check_rep=False,
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
