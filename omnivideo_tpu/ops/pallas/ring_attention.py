@@ -55,6 +55,7 @@ def _step_kernel(
     causal: Optional[str],  # None | "block" | "token"
     block_q: int,
     block_k: int,
+    zigzag_half: int,  # 0 = contiguous shards; >0 = zigzag chunk length Lc
 ):
     h, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_dev = jax.lax.axis_size(axis_name)
@@ -97,9 +98,18 @@ def _step_kernel(
     step = step_ref[0, 0]
     src = jax.lax.rem(my_id - step + n_dev, n_dev)  # origin shard of this K/V
     visible = jnp.asarray(True)
-    if causal is not None:
+    if causal is not None and not zigzag_half:
         # shard-block causality: only shards at or before our own contribute
         visible = src <= my_id
+    elif zigzag_half:
+        # zigzag layout (zigzag_ring_flash_attn.py): device d holds global
+        # chunks (d, 2n-1-d) of length Lc each; causality at chunk level
+        Lc = zigzag_half
+        q2 = (qi * block_q) >= Lc
+        k2 = (ki * block_k) >= Lc
+        q_chunk = jnp.where(q2, 2 * n_dev - 1 - my_id, my_id)
+        k_chunk = jnp.where(k2, 2 * n_dev - 1 - src, src)
+        visible = k_chunk <= q_chunk
 
     @pl.when(visible)
     def _accumulate():
@@ -109,12 +119,27 @@ def _step_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                   # [bq, bk]
-        if causal == "token":
+        if causal == "token" and not zigzag_half:
             # intra-shard triangle when attending our own shard's K/V
             qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             kpos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             intra = jnp.where(qpos >= kpos, 0.0, NEG_INF)
             s = s + jnp.where(src == my_id, intra, jnp.zeros_like(intra))
+        elif zigzag_half:
+            # triangle whenever q and k sit in the SAME global chunk
+            Lc = zigzag_half
+            q2 = (qi * block_q) >= Lc
+            k2 = (ki * block_k) >= Lc
+            q_chunk = jnp.where(q2, 2 * n_dev - 1 - my_id, my_id)
+            k_chunk = jnp.where(k2, 2 * n_dev - 1 - src, src)
+            q_off = (qi * block_q
+                     + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                     - jnp.where(q2, Lc, 0))
+            k_off = (ki * block_k
+                     + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                     - jnp.where(k2, Lc, 0))
+            intra = jnp.where(q_off >= k_off, 0.0, NEG_INF)
+            s = s + jnp.where(q_chunk == k_chunk, intra, jnp.zeros_like(intra))
         # row stats live broadcast across the 128-lane minor dim (mosaic tiling)
         m_blk = jnp.max(s, axis=1, keepdims=True)   # [bq, 1]
         m_new = jnp.maximum(ms[...], m_blk)         # [bq, 128], lanes equal
@@ -145,7 +170,7 @@ def _step_kernel(
 
 
 def _ring_step(step_idx, q, k, v, m, l, acc, *, scale, block_q, block_k,
-               axis_name, interpret, causal):
+               axis_name, interpret, causal, zigzag_half=0):
     """One fused step: flash(q, k, v) accumulated into (m, l, acc) while
     k/v stream to the right neighbor. Returns (m, l, acc, k_next, v_next)."""
     H, Lq, D = q.shape
@@ -161,6 +186,7 @@ def _ring_step(step_idx, q, k, v, m, l, acc, *, scale, block_q, block_k,
     kernel = functools.partial(
         _step_kernel, scale=scale, kv_steps=kv_steps, axis_name=axis_name,
         use_barrier=not interpret, causal=causal, block_q=bq, block_k=bk,
+        zigzag_half=zigzag_half,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((H, Lq, 128), jnp.float32),  # m (lane-broadcast)
@@ -222,6 +248,7 @@ def ring_flash_attention_shard(
     block_k: int = 256,
     interpret: bool = False,
     causal: Optional[str] = None,
+    zigzag: bool = False,
 ) -> jnp.ndarray:
     """Call INSIDE shard_map with q/k/v sequence-sharded over `axis_name`.
 
@@ -246,9 +273,18 @@ def ring_flash_attention_shard(
     l0 = jnp.zeros((H, Lq, 128), jnp.float32)
     a0 = jnp.zeros((H, Lq, D), jnp.float32)
 
+    zigzag_half = 0
+    if zigzag:
+        assert causal == "token", "zigzag implies token-causal"
+        assert Lq % 2 == 0, Lq
+        zigzag_half = Lq // 2
+        assert zigzag_half % min(block_q, zigzag_half) == 0
     step = functools.partial(
-        _ring_step, scale=scale, block_q=block_q, block_k=block_k,
+        _ring_step, scale=scale,
+        block_q=min(block_q, zigzag_half) if zigzag else block_q,
+        block_k=min(block_k, zigzag_half) if zigzag else block_k,
         axis_name=axis_name, interpret=interpret, causal=causal,
+        zigzag_half=zigzag_half,
     )
 
     def body(i, carry):

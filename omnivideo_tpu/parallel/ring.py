@@ -172,3 +172,51 @@ def hybrid_attention(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
     )
     return fn(q, k, v)
+
+
+def zigzag_ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "seq",
+    softmax_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Load-balanced token-causal ring attention (zigzag_ring_flash_attn.py).
+
+    The sequence is split into 2n chunks; device i holds chunks (i, 2n−1−i),
+    so every device does the same causal work. Runs the fused Pallas ring
+    kernel with zigzag chunk visibility; output is returned in the original
+    sequence order.
+    """
+    from ..ops.pallas.ring_attention import ring_flash_attention_shard
+
+    n = mesh.shape[axis]
+    B, L, N, D = q.shape
+    assert L % (2 * n) == 0, (L, n)
+    Lc = L // (2 * n)
+    chunk_order = []
+    for i in range(n):
+        chunk_order += [i, 2 * n - 1 - i]
+    idx = jnp.concatenate(
+        [jnp.arange(c * Lc, (c + 1) * Lc) for c in chunk_order]
+    )
+    inv = jnp.argsort(idx)
+
+    qz, kz, vz = (jnp.take(x, idx, axis=1) for x in (q, k, v))
+    spec = P(None, axis, None, None)
+    out = jax.shard_map(
+        functools.partial(
+            ring_flash_attention_shard, axis_name=axis,
+            softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
+            interpret=interpret, causal="token", zigzag=True,
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(qz, kz, vz)
+    return jnp.take(out, inv, axis=1)

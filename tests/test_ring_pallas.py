@@ -138,3 +138,24 @@ def test_ring_pallas_token_causal_matches_oracle():
         check_rep=False,
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_zigzag_ring_matches_causal_oracle():
+    """Load-balanced zigzag layout == dense token-causal attention in the
+    ORIGINAL sequence order."""
+    from omnivideo_tpu.parallel.ring import zigzag_ring_attention
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(5)
+    B, L, N, D = 1, 1024, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+
+    s = jnp.einsum("bind,bjnd->bnij", q, k) / np.sqrt(D)
+    s = jnp.where(jnp.tril(jnp.ones((L, L), bool))[None, None], s, -1e30)
+    ref = jnp.einsum("bnij,bjnd->bind", jax.nn.softmax(s, axis=-1), v)
+
+    out = zigzag_ring_attention(q, k, v, mesh, axis="seq",
+                                block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
