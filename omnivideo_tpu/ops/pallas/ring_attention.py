@@ -33,6 +33,7 @@ NEG_INF = -1e30
 def _step_kernel(
     # blocked VMEM inputs (grid: heads, q blocks, kv blocks)
     step_ref,   # SMEM [1, 1] — ring step index s
+    len_ref,    # SMEM [1, 1] — valid global KV length for this head row
     q_ref,      # [1, bq, D]
     k_ref,      # [1, bk, D]
     v_ref,      # [1, bk, D]
@@ -56,6 +57,8 @@ def _step_kernel(
     block_q: int,
     block_k: int,
     zigzag_half: int,  # 0 = contiguous shards; >0 = zigzag chunk length Lc
+    lk_local: int,     # K/V tokens per shard (for global position of a block)
+    use_kv_lens: bool,
 ):
     h, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_dev = jax.lax.axis_size(axis_name)
@@ -119,6 +122,12 @@ def _step_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                   # [bq, bk]
+        if use_kv_lens:
+            # varlen: mask K/V tokens at or beyond this row's valid length
+            # (global position = origin shard offset + local offset)
+            kglob = (src * lk_local + ki * block_k
+                     + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1))
+            s = s + jnp.where(kglob < len_ref[0, 0], 0.0, NEG_INF)
         if causal == "token" and not zigzag_half:
             # intra-shard triangle when attending our own shard's K/V
             qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -169,8 +178,8 @@ def _step_kernel(
         copy_v.wait()
 
 
-def _ring_step(step_idx, q, k, v, m, l, acc, *, scale, block_q, block_k,
-               axis_name, interpret, causal, zigzag_half=0):
+def _ring_step(step_idx, q, k, v, m, l, acc, kv_lens, *, scale, block_q,
+               block_k, axis_name, interpret, causal, zigzag_half=0):
     """One fused step: flash(q, k, v) accumulated into (m, l, acc) while
     k/v stream to the right neighbor. Returns (m, l, acc, k_next, v_next)."""
     H, Lq, D = q.shape
@@ -183,10 +192,13 @@ def _ring_step(step_idx, q, k, v, m, l, acc, *, scale, block_q, block_k,
 
     ANY = pltpu.MemorySpace.ANY
 
+    use_kv_lens = kv_lens is not None
+    if not use_kv_lens:
+        kv_lens = jnp.zeros((H, 1), jnp.int32)
     kernel = functools.partial(
         _step_kernel, scale=scale, kv_steps=kv_steps, axis_name=axis_name,
         use_barrier=not interpret, causal=causal, block_q=bq, block_k=bk,
-        zigzag_half=zigzag_half,
+        zigzag_half=zigzag_half, lk_local=Lk, use_kv_lens=use_kv_lens,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((H, Lq, 128), jnp.float32),  # m (lane-broadcast)
@@ -203,6 +215,8 @@ def _ring_step(step_idx, q, k, v, m, l, acc, *, scale, block_q, block_k,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec((1, 1), lambda h, i, j: (h, 0),
+                         memory_space=pltpu.MemorySpace.SMEM),
             pl.BlockSpec((1, bq, D), qs),
             pl.BlockSpec((1, bk, D), ks),
             pl.BlockSpec((1, bk, D), ks),
@@ -229,12 +243,13 @@ def _ring_step(step_idx, q, k, v, m, l, acc, *, scale, block_q, block_k,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret,
         compiler_params=(
             None if interpret else pltpu.CompilerParams(collective_id=7)
         ),
-    )(jnp.asarray(step_idx, jnp.int32).reshape(1, 1), q, k, v, m, l, acc, k, v)
+    )(jnp.asarray(step_idx, jnp.int32).reshape(1, 1), kv_lens,
+      q, k, v, m, l, acc, k, v)
     return m2, l2, a2, k_next, v_next
 
 
@@ -249,6 +264,7 @@ def ring_flash_attention_shard(
     interpret: bool = False,
     causal: Optional[str] = None,
     zigzag: bool = False,
+    kv_lens: Optional[jnp.ndarray] = None,  # [B] valid global KV lengths
 ) -> jnp.ndarray:
     """Call INSIDE shard_map with q/k/v sequence-sharded over `axis_name`.
 
@@ -268,6 +284,11 @@ def ring_flash_attention_shard(
     to_hld = lambda x: x.transpose(0, 2, 1, 3).reshape(B * N, x.shape[1], D)
     qh, kh, vh = to_hld(q), to_hld(k), to_hld(v)
     H = B * N
+
+    lens_h = None
+    if kv_lens is not None:
+        # one length per folded (batch, head) row
+        lens_h = jnp.repeat(kv_lens.astype(jnp.int32), N).reshape(H, 1)
 
     m0 = jnp.full((H, Lq, 128), NEG_INF, jnp.float32)
     l0 = jnp.zeros((H, Lq, 128), jnp.float32)
@@ -289,7 +310,7 @@ def ring_flash_attention_shard(
 
     def body(i, carry):
         m, l, acc, kc, vc = carry
-        m, l, acc, kn, vn = step(i, qh, kc, vc, m, l, acc)
+        m, l, acc, kn, vn = step(i, qh, kc, vc, m, l, acc, lens_h)
         return (m, l, acc, kn, vn)
 
     m, l, acc, _, _ = jax.lax.fori_loop(

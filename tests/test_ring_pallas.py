@@ -159,3 +159,24 @@ def test_zigzag_ring_matches_causal_oracle():
     out = zigzag_ring_attention(q, k, v, mesh, axis="seq",
                                 block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_ring_pallas_varlen_kv_lens():
+    """kv_lens masking == XLA masked attention (reference ring varlen role)."""
+    mesh = _mesh(4)
+    rng = np.random.default_rng(6)
+    B, L, N, D = 2, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    lens = jnp.asarray([300, 450], jnp.int32)
+
+    ref = attention_xla(q, k, v, kv_lens=lens)
+    out = shard_map(
+        functools.partial(ring_flash_attention_shard, axis_name="seq",
+                          interpret=True, block_q=128, block_k=128,
+                          kv_lens=lens),
+        mesh=mesh, in_specs=(P(None, "seq"),) * 3, out_specs=P(None, "seq"),
+        check_rep=False,
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
