@@ -205,6 +205,7 @@ class SPConfig:
     mode: str = "ulysses"
     seq_axis: str = "seq"
     ulysses_axis: str = "fsdp"  # inner axis for hybrid
+    ring_impl: str = "ppermute"  # "ppermute" (differentiable) | "pallas" (fused RDMA, fwd-only)
 
     @property
     def sp_size(self) -> int:
@@ -263,7 +264,8 @@ def wan_block_apply(
         from ..parallel.ring import ring_attention
 
         assert aux.kv_lens is None, "ring attention requires unpadded seq_len"
-        o = ring_attention(q, k, v, sp.mesh, axis=sp.seq_axis)
+        o = ring_attention(q, k, v, sp.mesh, axis=sp.seq_axis,
+                           impl=getattr(sp, "ring_impl", "ppermute"))
     elif sp.mode == "hybrid":
         from ..parallel.ring import hybrid_attention
 

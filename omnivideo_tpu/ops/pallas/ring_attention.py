@@ -33,7 +33,7 @@ NEG_INF = -1e30
 def _step_kernel(
     # blocked VMEM inputs (grid: heads, q blocks, kv blocks)
     step_ref,   # SMEM [1, 1] — ring step index s
-    len_ref,    # SMEM [1, 1] — valid global KV length for this head row
+    len_ref,    # SMEM [H, 1] — valid global KV length per head row
     q_ref,      # [1, bq, D]
     k_ref,      # [1, bk, D]
     v_ref,      # [1, bk, D]
@@ -127,7 +127,7 @@ def _step_kernel(
             # (global position = origin shard offset + local offset)
             kglob = (src * lk_local + ki * block_k
                      + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1))
-            s = s + jnp.where(kglob < len_ref[0, 0], 0.0, NEG_INF)
+            s = s + jnp.where(kglob < len_ref[h, 0], 0.0, NEG_INF)
         if causal == "token" and not zigzag_half:
             # intra-shard triangle when attending our own shard's K/V
             qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -215,8 +215,7 @@ def _ring_step(step_idx, q, k, v, m, l, acc, kv_lens, *, scale, block_q,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
-            pl.BlockSpec((1, 1), lambda h, i, j: (h, 0),
-                         memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
             pl.BlockSpec((1, bq, D), qs),
             pl.BlockSpec((1, bk, D), ks),
             pl.BlockSpec((1, bk, D), ks),

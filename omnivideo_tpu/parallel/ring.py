@@ -101,7 +101,7 @@ def ring_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     impl: str = "ppermute",
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Global-view wrapper: shard along L over `axis`, run ring attention.
 
@@ -117,6 +117,8 @@ def ring_attention(
         assert not causal, "fused pallas ring kernel is non-causal (DiT path)"
         from ..ops.pallas.ring_attention import ring_flash_attention_shard
 
+        if interpret is None:  # Mosaic interpreter off-TPU (tests/virtual mesh)
+            interpret = jax.default_backend() != "tpu"
         local = functools.partial(
             ring_flash_attention_shard, axis_name=axis,
             softmax_scale=softmax_scale, interpret=interpret,
