@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from omnivideo_tpu.ops import attention_xla
@@ -40,7 +40,7 @@ def test_ring_pallas_matches_full_attention(B, L, N, D, ndev):
         mesh=mesh,
         in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
         out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )
     out = fn(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
@@ -64,14 +64,14 @@ def test_ring_pallas_matches_ppermute_ring():
         mesh=mesh,
         in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
         out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )(q, k, v)
     perm = shard_map(
         functools.partial(ring_attention_local, axis="seq"),
         mesh=mesh,
         in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
         out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(pall), np.asarray(perm), rtol=2e-3, atol=2e-3)
 
@@ -106,12 +106,12 @@ def test_ring_pallas_block_causal_matches_ppermute():
                           interpret=True, block_q=128, block_k=128,
                           causal="block"),
         mesh=mesh, in_specs=(P(None, "seq"),) * 3, out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )(q, k, v)
     perm = shard_map(
         functools.partial(ring_attention_local, axis="seq", causal=True),
         mesh=mesh, in_specs=(P(None, "seq"),) * 3, out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(pall), np.asarray(perm), rtol=2e-3, atol=2e-3)
 
@@ -135,7 +135,7 @@ def test_ring_pallas_token_causal_matches_oracle():
                           interpret=True, block_q=128, block_k=128,
                           causal="token"),
         mesh=mesh, in_specs=(P(None, "seq"),) * 3, out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
 
@@ -177,6 +177,6 @@ def test_ring_pallas_varlen_kv_lens():
                           interpret=True, block_q=128, block_k=128,
                           kv_lens=lens),
         mesh=mesh, in_specs=(P(None, "seq"),) * 3, out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
