@@ -45,6 +45,8 @@ def parse_args():
     p.add_argument("--sp_size", type=int, default=1,
                    help="Ulysses sequence-parallel degree (devices along 'seq')")
     p.add_argument("--sp_mode", default="ulysses", choices=["ulysses", "ring", "hybrid"])
+    p.add_argument("--ring_impl", default="ppermute", choices=["ppermute", "pallas"],
+                   help="ring K/V rotation: XLA collective-permute or the fused RDMA Pallas kernel")
     p.add_argument("--fsdp_size", type=int, default=1,
                    help="parameter-shard degree (devices along 'fsdp')")
     p.add_argument("--fps", type=int, default=None)
@@ -115,7 +117,7 @@ def main():
 
         mesh = create_mesh(dp=1, fsdp=args.fsdp_size, sp=args.sp_size)
         if args.sp_size > 1:
-            sp = SPConfig(mesh=mesh, mode=args.sp_mode)
+            sp = SPConfig(mesh=mesh, mode=args.sp_mode, ring_impl=args.ring_impl)
 
     if args.random_weights:
         pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl=args.attn_impl)
