@@ -53,7 +53,7 @@ def _step_kernel(
     kv_steps: int,
     axis_name: str,
     use_barrier: bool,
-    causal: Optional[str],  # None | "block" | "token"
+    causal: Optional[str],  # None | "block" | "token" | "stripe"
     block_q: int,
     block_k: int,
     zigzag_half: int,  # 0 = contiguous shards; >0 = zigzag chunk length Lc
@@ -101,7 +101,7 @@ def _step_kernel(
     step = step_ref[0, 0]
     src = jax.lax.rem(my_id - step + n_dev, n_dev)  # origin shard of this K/V
     visible = jnp.asarray(True)
-    if causal is not None and not zigzag_half:
+    if causal in ("block", "token") and not zigzag_half:
         # shard-block causality: only shards at or before our own contribute
         visible = src <= my_id
     elif zigzag_half:
@@ -134,6 +134,16 @@ def _step_kernel(
             kpos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             intra = jnp.where(qpos >= kpos, 0.0, NEG_INF)
             s = s + jnp.where(src == my_id, intra, jnp.zeros_like(intra))
+        elif causal == "stripe":
+            # stripe layout (stripe_flash_attn.py): device d holds global
+            # tokens {d + j·n}; q(my, jq) sees k(src, jk) iff
+            # jq > jk, or jq == jk and src ≤ my  ⇔  jq ≥ jk + (src > my)
+            q_off = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_off = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            shift = jnp.where(src > my_id, 1, 0)
+            s = s + jnp.where(q_off >= k_off + shift, 0.0, NEG_INF)
         elif zigzag_half:
             # triangle whenever q and k sit in the SAME global chunk
             Lc = zigzag_half
@@ -271,9 +281,11 @@ def ring_flash_attention_shard(
     originating s hops left, K/V riding the ICI ring one hop per step.
 
     causal: None (full), "block" (shards ≤ own contribute fully — matches
-    parallel/ring.py ring_attention_local(causal=True)), or "token" (true
+    parallel/ring.py ring_attention_local(causal=True)), "token" (true
     causal: triangular mask within the own shard, like the reference
-    ring_flash_attn.py's causal path at shard granularity).
+    ring_flash_attn.py's causal path at shard granularity), or "stripe"
+    (round-robin token layout, stripe_flash_attn.py — combine with the
+    stripe_ring_attention wrapper).
     """
     B, Lq, N, D = q.shape
     scale = float(softmax_scale) if softmax_scale else float(1.0 / np.sqrt(D))

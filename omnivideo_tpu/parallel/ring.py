@@ -222,3 +222,46 @@ def zigzag_ring_attention(
         check_vma=False,
     )(qz, kz, vz)
     return jnp.take(out, inv, axis=1)
+
+
+def stripe_ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "seq",
+    softmax_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stripe-balanced token-causal ring attention (stripe_flash_attn.py).
+
+    Tokens are dealt round-robin: device i holds global positions {i + j·n},
+    giving every device an identical causal workload. The fused kernel applies
+    the shifted-triangle rule q_off ≥ k_off + (src > my). Output is returned
+    in the original order.
+    """
+    from ..ops.pallas.ring_attention import ring_flash_attention_shard
+
+    n = mesh.shape[axis]
+    B, L, N, D = q.shape
+    assert L % n == 0, (L, n)
+    # stripe permutation: all positions ≡ 0 (mod n), then ≡ 1, ...
+    idx = jnp.concatenate([jnp.arange(i, L, n) for i in range(n)])
+    inv = jnp.argsort(idx)
+
+    qz, kz, vz = (jnp.take(x, idx, axis=1) for x in (q, k, v))
+    spec = P(None, axis, None, None)
+    out = jax.shard_map(
+        functools.partial(
+            ring_flash_attention_shard, axis_name=axis,
+            softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
+            interpret=interpret, causal="stripe",
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(qz, kz, vz)
+    return jnp.take(out, inv, axis=1)

@@ -180,3 +180,24 @@ def test_ring_pallas_varlen_kv_lens():
         check_vma=False,
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_stripe_ring_matches_causal_oracle():
+    """Stripe round-robin layout == dense token-causal attention in the
+    original order."""
+    from omnivideo_tpu.parallel.ring import stripe_ring_attention
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(7)
+    B, L, N, D = 1, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+
+    s = jnp.einsum("bind,bjnd->bnij", q, k) / np.sqrt(D)
+    s = jnp.where(jnp.tril(jnp.ones((L, L), bool))[None, None], s, -1e30)
+    ref = jnp.einsum("bnij,bjnd->bind", jax.nn.softmax(s, axis=-1), v)
+
+    out = stripe_ring_attention(q, k, v, mesh, axis="seq",
+                                block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
