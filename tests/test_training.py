@@ -284,3 +284,72 @@ def test_sft_step_lm_and_combined():
         0.0,
     )
     assert delta > 0
+
+
+def test_sft_step_sharded_mesh():
+    """SFT step under dp×fsdp sharding: params FSDP-sharded, batch
+    data-sharded, one jitted step runs and the loss is finite."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    from omnivideo_tpu.models.qwen3vl.text_model import Qwen3TextConfig
+    from omnivideo_tpu.parallel.mesh import create_mesh
+    from omnivideo_tpu.parallel.sharding import batch_sharding, params_shardings
+    from omnivideo_tpu.training.sft import (
+        SFTConfig,
+        build_sft_labels,
+        init_sft_state,
+        make_sft_optimizer,
+        make_sft_step,
+    )
+
+    cfg = Qwen3TextConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+    )
+    mesh = create_mesh(2, 2, 1)
+
+    def lin(k, i, o):
+        return jax.random.normal(k, (i, o)) * 0.05
+
+    D, V, hd = 64, 64, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 20)
+    layer = lambda i: {
+        "attn": {
+            "q": lin(ks[i], D, 4 * hd), "k": lin(ks[i + 1], D, 2 * hd),
+            "v": lin(ks[i + 2], D, 2 * hd), "o": lin(ks[i + 3], 4 * hd, D),
+            "q_norm": jnp.ones((hd,)), "k_norm": jnp.ones((hd,)),
+        },
+        "ln1": jnp.ones((D,)), "ln2": jnp.ones((D,)),
+        "mlp": {"gate": lin(ks[i + 4], D, 128), "up": lin(ks[i + 5], D, 128),
+                "down": lin(ks[i + 6], 128, D)},
+    }
+    import jax.tree_util as jtu
+
+    params = {"lm": {
+        "embed": jax.random.normal(ks[14], (V, D)) * 0.05,
+        "layers": jtu.tree_map(lambda *xs: jnp.stack(xs), layer(0), layer(7)),
+        "norm": jnp.ones((D,)),
+        "lm_head": jax.random.normal(ks[15], (D, V)) * 0.05,
+    }}
+    with mesh:
+        sh = params_shardings(params, mesh)
+        params = jtu.tree_map(jax.device_put, params, sh)
+        tc = SFTConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+        tx = make_sft_optimizer(tc)
+        step = jax.jit(make_sft_step(cfg, tc, tx))
+        state = init_sft_state(params, tx)
+        ids = jax.random.randint(ks[16], (4, 16), 0, V)
+        batch = {
+            "ids": jax.device_put(ids, batch_sharding(mesh, 2)),
+            "labels": jax.device_put(
+                build_sft_labels(ids, jnp.full((4,), 5)), batch_sharding(mesh, 2)
+            ),
+        }
+        state, m = step(state, batch)
+        state, m = step(state, batch)
+        assert bool(jnp.isfinite(m["loss"])) and float(m["grad_norm"]) > 0

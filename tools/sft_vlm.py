@@ -45,6 +45,8 @@ def parse_args():
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--save_interval", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--dummy_data", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None)
@@ -160,6 +162,16 @@ def main():
                                        out_dim=32, num_queries=4, num_layers=1),
         }
 
+    mesh = None
+    if args.dp * args.fsdp > 1:
+        from omnivideo_tpu.parallel.mesh import create_mesh
+        from omnivideo_tpu.parallel.sharding import params_shardings
+
+        mesh = create_mesh(args.dp, args.fsdp, 1)
+        sh = params_shardings(params, mesh)
+        params = jax.tree_util.tree_map(jax.device_put, params, sh)
+        log.info("mesh dp=%d fsdp=%d", args.dp, args.fsdp)
+
     tc = SFTConfig(
         learning_rate=args.lr, max_grad_norm=args.grad_clip,
         warmup_steps=args.warmup_steps, total_steps=args.total_steps,
@@ -176,6 +188,11 @@ def main():
     for i in range(args.total_steps):
         bkey = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), i)
         batch = _dummy_batch(bkey, cfg, args)  # data_dir path: io pickles
+        if mesh is not None:
+            from omnivideo_tpu.parallel.sharding import batch_sharding
+
+            batch = {kk: jax.device_put(vv, batch_sharding(mesh, vv.ndim))
+                     for kk, vv in batch.items()}
         t0 = time.perf_counter()
         state, m = step(state, batch)
         loss = float(m["loss"])
