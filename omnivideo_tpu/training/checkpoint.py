@@ -47,4 +47,4 @@ class CheckpointManager:
                 state=ocp.args.StandardRestore(state_like._asdict()),
             ),
         )["state"]
-        return TrainState(**restored)
+        return type(state_like)(**restored)

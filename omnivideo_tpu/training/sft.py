@@ -130,3 +130,87 @@ def build_sft_labels(
     if pad_id is not None:
         labels = jnp.where(ids == pad_id, IGNORE_INDEX, labels)
     return labels
+
+
+class SFTDataset:
+    """Directory of per-sample .npz/.pkl files with `ids` (int array) and
+    `prompt_len` (int) [+ optional `vlm`, `target` for alignment].
+    Role of the reference's supervised dataset builders (llava/data/dataset.py)
+    reduced to the offline-tokenized form this framework trains from."""
+
+    def __init__(self, root: str):
+        from pathlib import Path
+
+        self.files = sorted(
+            p for p in Path(root).iterdir() if p.suffix in (".npz", ".pkl", ".pt")
+        )
+        assert self.files, f"no samples under {root}"
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        p = self.files[i]
+        if p.suffix == ".npz":
+            d = dict(np.load(p, allow_pickle=True))
+        else:
+            from ..io.torch_reader import read_torch_checkpoint, to_float_numpy
+
+            d = read_torch_checkpoint(str(p))
+            d = {k: (to_float_numpy(v) if k not in ("ids", "prompt_len") else v)
+                 for k, v in d.items()}
+        return d
+
+
+def sft_collate(samples, seq_len: int, pad_id: int = 0):
+    """Pad ids to seq_len; labels = ids with prompt and padding masked."""
+    import numpy as np
+
+    B = len(samples)
+    ids = np.full((B, seq_len), pad_id, np.int32)
+    plens = np.zeros((B,), np.int32)
+    real_len = np.zeros((B,), np.int32)
+    for i, s in enumerate(samples):
+        a = np.asarray(s["ids"], np.int32).reshape(-1)[:seq_len]
+        ids[i, : len(a)] = a
+        plens[i] = int(np.asarray(s["prompt_len"]).reshape(-1)[0])
+        real_len[i] = len(a)
+    labels = np.where(
+        (np.arange(seq_len)[None] < plens[:, None])
+        | (np.arange(seq_len)[None] >= real_len[:, None]),
+        IGNORE_INDEX,
+        ids,
+    )
+    batch = {
+        "ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attn_mask": jnp.asarray(
+            (np.arange(seq_len)[None] < real_len[:, None]).astype(np.int32)
+        ),
+    }
+    if all("vlm" in s for s in samples):
+        batch["vlm"] = jnp.asarray(
+            np.stack([np.asarray(s["vlm"], np.float32) for s in samples])
+        )
+        batch["target"] = jnp.asarray(
+            np.stack([np.asarray(s["target"], np.float32) for s in samples])
+        )
+    return batch
+
+
+def sft_data_loader(ds: "SFTDataset", batch_size: int, seq_len: int,
+                    seed: int = 0, pad_id: int = 0):
+    """Infinite shuffled batch iterator."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(ds))
+    i = 0
+    while True:
+        if i + batch_size > len(order):
+            order = rng.permutation(len(ds))
+            i = 0
+        yield sft_collate([ds[j] for j in order[i:i + batch_size]], seq_len, pad_id)
+        i += batch_size

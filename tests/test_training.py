@@ -353,3 +353,23 @@ def test_sft_step_sharded_mesh():
         state, m = step(state, batch)
         state, m = step(state, batch)
         assert bool(jnp.isfinite(m["loss"])) and float(m["grad_norm"]) > 0
+
+
+def test_sft_collate_masks():
+    """sft_collate: prompt + padding masked to -100; attn_mask marks real."""
+    import numpy as np
+
+    from omnivideo_tpu.training.sft import IGNORE_INDEX, sft_collate
+
+    samples = [
+        {"ids": np.arange(1, 11), "prompt_len": 4},
+        {"ids": np.arange(1, 7), "prompt_len": 2},
+    ]
+    b = sft_collate(samples, seq_len=12)
+    assert b["ids"].shape == (2, 12)
+    lab = np.asarray(b["labels"])
+    assert (lab[0, :4] == IGNORE_INDEX).all() and (lab[0, 10:] == IGNORE_INDEX).all()
+    assert (lab[0, 4:10] == np.arange(5, 11)).all()
+    assert (lab[1, :2] == IGNORE_INDEX).all() and (lab[1, 6:] == IGNORE_INDEX).all()
+    am = np.asarray(b["attn_mask"])
+    assert am[0].sum() == 10 and am[1].sum() == 6

@@ -129,9 +129,11 @@ def main():
 
     from omnivideo_tpu.training.sft import (
         SFTConfig,
+        SFTDataset,
         init_sft_state,
         make_sft_optimizer,
         make_sft_step,
+        sft_data_loader,
     )
 
     key = jax.random.PRNGKey(args.seed)
@@ -185,9 +187,24 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     metrics_f = (out / "metrics.jsonl").open("a")
 
-    for i in range(args.total_steps):
-        bkey = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), i)
-        batch = _dummy_batch(bkey, cfg, args)  # data_dir path: io pickles
+    from omnivideo_tpu.training.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(out / "checkpoints"))
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        log.info("resumed from step %d", int(state.step))
+
+    loader = None
+    if args.data_dir:
+        loader = sft_data_loader(SFTDataset(args.data_dir), args.batch_size,
+                                 args.seq_len, seed=args.seed)
+
+    for i in range(int(state.step), args.total_steps):
+        if loader is not None:
+            batch = next(loader)
+        else:
+            bkey = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), i)
+            batch = _dummy_batch(bkey, cfg, args)
         if mesh is not None:
             from omnivideo_tpu.parallel.sharding import batch_sharding
 
@@ -206,6 +223,10 @@ def main():
             log.info("%s", rec)
             metrics_f.write(json.dumps(rec) + "\n")
             metrics_f.flush()
+        if args.save_interval and (i + 1) % args.save_interval == 0:
+            ckpt.save(i + 1, state)
+            log.info("saved checkpoint at step %d", i + 1)
+    ckpt.save(args.total_steps, state)
     log.info("done: %d steps, final loss %.4f", args.total_steps, loss)
 
 
