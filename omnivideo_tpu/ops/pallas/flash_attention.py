@@ -317,33 +317,22 @@ def _fa_fwd(q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret):
     return out, (out, lse, qt, kt, vt, kv_lens_bn, lk_token)
 
 
-def _fa_bwd(softmax_scale, block_q, block_k, interpret, res, g):
-    out, lse, qt, kt, vt, kv_lens_bn, lk_token = res
+def flash_bwd_core(qt, kt, vt, do, lse_b, delta_b, kv_lens_bn, *, scale,
+                   block_q, block_k, interpret):
+    """Backward kernels on [BN, L, D]-layout operands with GLOBAL row stats.
+
+    lse_b/delta_b: [BN, Lq, 128] lane-broadcast logsumexp and rowsum(dO·O).
+    Factored out so ring attention's VJP can run it once per ring step with
+    the visiting K/V shard (ops/pallas/ring_attention.py)."""
     BN, Lq_p, D = qt.shape
     Lk_p = kt.shape[1]
-    Lk = lk_token.shape[0]
-    scale = softmax_scale if softmax_scale is not None else D**-0.5
-    B, Lq, N, _ = g.shape
-    # block sizes: any divisors of the padded lengths are mathematically
-    # equivalent; these match the forward's choices
     bq = min(block_q, Lq_p)
     bk = min(block_k, Lk_p)
-
-    do = jnp.pad(g, ((0, 0), (0, Lq_p - Lq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    do = do.reshape(BN, Lq_p, D)
-    o_p = jnp.pad(out, ((0, 0), (0, Lq_p - Lq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    o_p = o_p.reshape(BN, Lq_p, D)
-    delta = jnp.sum(do.astype(jnp.float32) * o_p.astype(jnp.float32), axis=-1)
-    lse_p = jnp.pad(lse.reshape(BN, -1), ((0, 0), (0, Lq_p - Lq)))
-    # broadcast row stats to 128 lanes for clean VMEM tiling
-    lse_b = jnp.broadcast_to(lse_p[:, :, None], (BN, Lq_p, 128))
-    delta_b = jnp.broadcast_to(delta[:, :, None], (BN, Lq_p, 128))
-
     kv_steps = Lk_p // bk
     q_steps = Lq_p // bq
 
     dq = pl.pallas_call(
-        functools.partial(_fa_bwd_dq_kernel, scale=float(scale), block_k=bk,
+        functools.partial(_fa_bwd_dq_kernel, scale=scale, block_k=bk,
                           kv_steps=kv_steps),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -364,7 +353,7 @@ def _fa_bwd(softmax_scale, block_q, block_k, interpret, res, g):
     )(kv_lens_bn, qt, kt, vt, do, lse_b, delta_b)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_fa_bwd_dkv_kernel, scale=float(scale), q_steps=q_steps),
+        functools.partial(_fa_bwd_dkv_kernel, scale=scale, q_steps=q_steps),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(BN, kv_steps, q_steps),
@@ -391,7 +380,31 @@ def _fa_bwd(softmax_scale, block_q, block_k, interpret, res, g):
         ),
         interpret=interpret,
     )(kv_lens_bn, qt, kt, vt, do, lse_b, delta_b)
+    return dq, dk, dv
 
+
+def _fa_bwd(softmax_scale, block_q, block_k, interpret, res, g):
+    out, lse, qt, kt, vt, kv_lens_bn, lk_token = res
+    BN, Lq_p, D = qt.shape
+    Lk_p = kt.shape[1]
+    Lk = lk_token.shape[0]
+    scale = softmax_scale if softmax_scale is not None else D**-0.5
+    B, Lq, N, _ = g.shape
+
+    do = jnp.pad(g, ((0, 0), (0, Lq_p - Lq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    do = do.reshape(BN, Lq_p, D)
+    o_p = jnp.pad(out, ((0, 0), (0, Lq_p - Lq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    o_p = o_p.reshape(BN, Lq_p, D)
+    delta = jnp.sum(do.astype(jnp.float32) * o_p.astype(jnp.float32), axis=-1)
+    lse_p = jnp.pad(lse.reshape(BN, -1), ((0, 0), (0, Lq_p - Lq)))
+    # broadcast row stats to 128 lanes for clean VMEM tiling
+    lse_b = jnp.broadcast_to(lse_p[:, :, None], (BN, Lq_p, 128))
+    delta_b = jnp.broadcast_to(delta[:, :, None], (BN, Lq_p, 128))
+
+    dq, dk, dv = flash_bwd_core(
+        qt, kt, vt, do, lse_b, delta_b, kv_lens_bn, scale=float(scale),
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
     dq = dq.reshape(B, N, Lq_p, D).transpose(0, 2, 1, 3)[:, :Lq]
     dk = dk.reshape(B, N, Lk_p, D).transpose(0, 2, 1, 3)[:, :Lk]
     dv = dv.reshape(B, N, Lk_p, D).transpose(0, 2, 1, 3)[:, :Lk]

@@ -274,6 +274,7 @@ def ring_flash_attention_shard(
     causal: Optional[str] = None,
     zigzag: bool = False,
     kv_lens: Optional[jnp.ndarray] = None,  # [B] valid global KV lengths
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """Call INSIDE shard_map with q/k/v sequence-sharded over `axis_name`.
 
@@ -328,6 +329,99 @@ def ring_flash_attention_shard(
         0, n_dev, body, (m0, l0, a0, kh, vh)
     )
     out = acc / jnp.maximum(l[..., :1], 1e-30)
-    return (
-        out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3).astype(q.dtype)
+    out = out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3).astype(q.dtype)
+    if return_lse:
+        # global logsumexp per row: m + log l, [B, N, Lq]
+        lse = (m[..., 0] + jnp.log(jnp.maximum(l[..., 0], 1e-30))).reshape(B, N, Lq)
+        return out, lse
+    return out
+
+
+# ---------------------------------------------------------------------------
+# trainable wrapper: fused-RDMA forward + ring backward (per-step Pallas
+# flash backward kernels with GLOBAL row stats; dK/dV ride the ring home)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def ring_flash_attention_trainable(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str = "seq",
+    softmax_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused ring flash attention (non-causal, call inside
+    shard_map). Forward = ring_flash_attention_shard (remote-DMA overlapped
+    kernel); backward = n ring steps of `flash_bwd_core` driven by the global
+    (lse, delta) row stats — dq accumulates locally, the visiting K/V shard's
+    dk/dv travel WITH it around the ring and arrive home after the full cycle
+    (role of reference ring_flash_attn.py backward + RingComm)."""
+    return ring_flash_attention_shard(
+        q, k, v, axis_name=axis_name, softmax_scale=softmax_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
     )
+
+
+def _ring_trainable_fwd(q, k, v, axis_name, softmax_scale, block_q, block_k,
+                        interpret):
+    out, lse = ring_flash_attention_shard(
+        q, k, v, axis_name=axis_name, softmax_scale=softmax_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret, return_lse=True,
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _ring_trainable_bwd(axis_name, softmax_scale, block_q, block_k, interpret,
+                        res, g):
+    from .flash_attention import flash_bwd_core
+
+    q, k, v, out, lse = res
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    BN = B * N
+    scale = float(softmax_scale) if softmax_scale else float(1.0 / np.sqrt(D))
+    n_dev = jax.lax.psum(1, axis_name)
+
+    to_t = lambda x: x.transpose(0, 2, 1, 3).reshape(BN, x.shape[1], D)
+    qt, do = to_t(q), to_t(g)
+    ot = to_t(out)
+    delta = jnp.sum(do.astype(jnp.float32) * ot.astype(jnp.float32), axis=-1)
+    lse_b = jnp.broadcast_to(lse.reshape(BN, Lq)[:, :, None], (BN, Lq, 128))
+    delta_b = jnp.broadcast_to(delta[:, :, None], (BN, Lq, 128))
+    kv_lens_bn = jnp.full((BN,), Lk, jnp.int32)
+
+    perm_fn = lambda n: [(i, (i + 1) % n) for i in range(n)]
+
+    def body(i, carry):
+        dq_acc, kt_c, vt_c, dk_c, dv_c = carry
+        dq_p, dk_p, dv_p = flash_bwd_core(
+            qt, kt_c, vt_c, do, lse_b, delta_b, kv_lens_bn, scale=scale,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+        dq_acc = dq_acc + dq_p.astype(jnp.float32)
+        dk_c = dk_c + dk_p.astype(jnp.float32)
+        dv_c = dv_c + dv_p.astype(jnp.float32)
+        perm = perm_fn(jax.lax.psum(1, axis_name))
+        kt_c = jax.lax.ppermute(kt_c, axis_name, perm)
+        vt_c = jax.lax.ppermute(vt_c, axis_name, perm)
+        dk_c = jax.lax.ppermute(dk_c, axis_name, perm)
+        dv_c = jax.lax.ppermute(dv_c, axis_name, perm)
+        return (dq_acc, kt_c, vt_c, dk_c, dv_c)
+
+    kt0, vt0 = to_t(k), to_t(v)
+    dq0 = jnp.zeros((BN, Lq, D), jnp.float32)
+    dkv0 = jnp.zeros((BN, Lk, D), jnp.float32)
+    dq_t, _, _, dk_t, dv_t = jax.lax.fori_loop(
+        0, n_dev, body, (dq0, kt0, vt0, dkv0, dkv0)
+    )
+
+    back = lambda x, L: x.reshape(B, N, L, D).transpose(0, 2, 1, 3)
+    return (back(dq_t, Lq).astype(q.dtype), back(dk_t, Lk).astype(k.dtype),
+            back(dv_t, Lk).astype(v.dtype))
+
+
+ring_flash_attention_trainable.defvjp(_ring_trainable_fwd, _ring_trainable_bwd)

@@ -115,12 +115,12 @@ def ring_attention(
     spec = P(None, axis, None, None)
     if impl == "pallas":
         assert not causal, "fused pallas ring kernel is non-causal (DiT path)"
-        from ..ops.pallas.ring_attention import ring_flash_attention_shard
+        from ..ops.pallas.ring_attention import ring_flash_attention_trainable
 
         if interpret is None:  # Mosaic interpreter off-TPU (tests/virtual mesh)
             interpret = jax.default_backend() != "tpu"
         local = functools.partial(
-            ring_flash_attention_shard, axis_name=axis,
+            ring_flash_attention_trainable, axis_name=axis,
             softmax_scale=softmax_scale, interpret=interpret,
         )
     else:

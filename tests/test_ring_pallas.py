@@ -201,3 +201,39 @@ def test_stripe_ring_matches_causal_oracle():
     out = stripe_ring_attention(q, k, v, mesh, axis="seq",
                                 block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_ring_trainable_gradients_match_dense():
+    """VJP of the fused ring kernel == VJP of dense attention (dq, dk, dv)."""
+    from omnivideo_tpu.ops.pallas.ring_attention import (
+        ring_flash_attention_trainable,
+    )
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(8)
+    B, L, N, D = 1, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+
+    def ring_loss(q, k, v):
+        f = shard_map(
+            functools.partial(ring_flash_attention_trainable, axis_name="seq",
+                              block_q=128, block_k=128, interpret=True),
+            mesh=mesh,
+            in_specs=(P(None, "seq"),) * 3,
+            out_specs=P(None, "seq"),
+            check_vma=False,
+        )
+        return jnp.sum(f(q, k, v) * w)
+
+    def dense_loss(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) * w)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_dense, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3, err_msg=name
+        )
