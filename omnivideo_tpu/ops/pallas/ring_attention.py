@@ -59,6 +59,7 @@ def _step_kernel(
     zigzag_half: int,  # 0 = contiguous shards; >0 = zigzag chunk length Lc
     lk_local: int,     # K/V tokens per shard (for global position of a block)
     use_kv_lens: bool,
+    mesh_axes: tuple,  # ALL mesh axis names (MESH device ids are full coords)
 ):
     h, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_dev = jax.lax.axis_size(axis_name)
@@ -66,25 +67,40 @@ def _step_kernel(
     right = jax.lax.rem(my_id + 1, n_dev)
     left = jax.lax.rem(my_id + n_dev - 1, n_dev)
 
+    # Device addressing: LOGICAL index on a 1-axis mesh (also what the
+    # Mosaic interpreter supports); full MESH coordinates with only the ring
+    # axis changed on multi-axis meshes (hybrid Ulysses×ring — hardware path)
+    if len(mesh_axes) == 1:
+        id_type = pltpu.DeviceIdType.LOGICAL
+        coords = lambda target: target
+    else:
+        id_type = pltpu.DeviceIdType.MESH
+
+        def coords(target):
+            return tuple(
+                target if a == axis_name else jax.lax.axis_index(a)
+                for a in mesh_axes
+            )
+
     if use_barrier:
         # sync kernel entry with both ring neighbors before any remote DMA
         # (standard collective-kernel prologue; needs collective_id)
         @pl.when((h == 0) & (qi == 0) & (ki == 0))
         def _barrier():
             sem = pltpu.get_barrier_semaphore()
-            pltpu.semaphore_signal(sem, device_id=left,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
-            pltpu.semaphore_signal(sem, device_id=right,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(sem, device_id=coords(left),
+                                   device_id_type=id_type)
+            pltpu.semaphore_signal(sem, device_id=coords(right),
+                                   device_id_type=id_type)
             pltpu.semaphore_wait(sem, 2)
 
     copy_k = pltpu.make_async_remote_copy(
         src_ref=k_any, dst_ref=k_next_any, send_sem=send_k, recv_sem=recv_k,
-        device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+        device_id=coords(right), device_id_type=id_type,
     )
     copy_v = pltpu.make_async_remote_copy(
         src_ref=v_any, dst_ref=v_next_any, send_sem=send_v, recv_sem=recv_v,
-        device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+        device_id=coords(right), device_id_type=id_type,
     )
 
     @pl.when((h == 0) & (qi == 0) & (ki == 0))
@@ -189,7 +205,8 @@ def _step_kernel(
 
 
 def _ring_step(step_idx, q, k, v, m, l, acc, kv_lens, *, scale, block_q,
-               block_k, axis_name, interpret, causal, zigzag_half=0):
+               block_k, axis_name, interpret, causal, zigzag_half=0,
+               mesh_axes=None):
     """One fused step: flash(q, k, v) accumulated into (m, l, acc) while
     k/v stream to the right neighbor. Returns (m, l, acc, k_next, v_next)."""
     H, Lq, D = q.shape
@@ -209,6 +226,7 @@ def _ring_step(step_idx, q, k, v, m, l, acc, kv_lens, *, scale, block_q,
         _step_kernel, scale=scale, kv_steps=kv_steps, axis_name=axis_name,
         use_barrier=not interpret, causal=causal, block_q=bq, block_k=bk,
         zigzag_half=zigzag_half, lk_local=Lk, use_kv_lens=use_kv_lens,
+        mesh_axes=tuple(mesh_axes) if mesh_axes else (axis_name,),
     )
     out_shapes = [
         jax.ShapeDtypeStruct((H, Lq, 128), jnp.float32),  # m (lane-broadcast)
@@ -275,6 +293,7 @@ def ring_flash_attention_shard(
     zigzag: bool = False,
     kv_lens: Optional[jnp.ndarray] = None,  # [B] valid global KV lengths
     return_lse: bool = False,
+    mesh_axes: Optional[tuple] = None,  # all mesh axis names (default: 1-D)
 ) -> jnp.ndarray:
     """Call INSIDE shard_map with q/k/v sequence-sharded over `axis_name`.
 
@@ -317,7 +336,7 @@ def ring_flash_attention_shard(
         block_q=min(block_q, zigzag_half) if zigzag else block_q,
         block_k=min(block_k, zigzag_half) if zigzag else block_k,
         axis_name=axis_name, interpret=interpret, causal=causal,
-        zigzag_half=zigzag_half,
+        zigzag_half=zigzag_half, mesh_axes=mesh_axes,
     )
 
     def body(i, carry):
@@ -343,7 +362,7 @@ def ring_flash_attention_shard(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def ring_flash_attention_trainable(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -353,6 +372,7 @@ def ring_flash_attention_trainable(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    mesh_axes: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Differentiable fused ring flash attention (non-causal, call inside
     shard_map). Forward = ring_flash_attention_shard (remote-DMA overlapped
@@ -363,20 +383,22 @@ def ring_flash_attention_trainable(
     return ring_flash_attention_shard(
         q, k, v, axis_name=axis_name, softmax_scale=softmax_scale,
         block_q=block_q, block_k=block_k, interpret=interpret,
+        mesh_axes=mesh_axes,
     )
 
 
 def _ring_trainable_fwd(q, k, v, axis_name, softmax_scale, block_q, block_k,
-                        interpret):
+                        interpret, mesh_axes):
     out, lse = ring_flash_attention_shard(
         q, k, v, axis_name=axis_name, softmax_scale=softmax_scale,
         block_q=block_q, block_k=block_k, interpret=interpret, return_lse=True,
+        mesh_axes=mesh_axes,
     )
     return out, (q, k, v, out, lse)
 
 
 def _ring_trainable_bwd(axis_name, softmax_scale, block_q, block_k, interpret,
-                        res, g):
+                        mesh_axes, res, g):
     from .flash_attention import flash_bwd_core
 
     q, k, v, out, lse = res

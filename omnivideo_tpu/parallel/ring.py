@@ -122,6 +122,7 @@ def ring_attention(
         local = functools.partial(
             ring_flash_attention_trainable, axis_name=axis,
             softmax_scale=softmax_scale, interpret=interpret,
+            mesh_axes=tuple(mesh.axis_names),
         )
     else:
         local = functools.partial(
@@ -145,6 +146,8 @@ def hybrid_attention(
     ulysses_axis: str = "fsdp",
     ring_axis: str = "seq",
     causal: bool = False,
+    ring_impl: str = "ppermute",
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """2-D hybrid Ulysses×Ring sequence parallelism.
 
@@ -162,12 +165,24 @@ def hybrid_attention(
 
     spec = P(None, (ulysses_axis, ring_axis), None, None)
 
+    if ring_impl == "pallas" and interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
     def local(q, k, v):
         # Ulysses: [B, L/(nu·nr), N, D] → [B, L/nr, N/nu, D]
         q2 = _a2a_scatter_heads(q, ulysses_axis)
         k2 = _a2a_scatter_heads(k, ulysses_axis)
         v2 = _a2a_scatter_heads(v, ulysses_axis)
-        o = ring_attention_local(q2, k2, v2, axis=ring_axis, causal=causal)
+        if ring_impl == "pallas":
+            assert not causal
+            from ..ops.pallas.ring_attention import ring_flash_attention_trainable
+
+            o = ring_flash_attention_trainable(
+                q2, k2, v2, ring_axis, None, 256, 256, interpret,
+                tuple(mesh.axis_names),
+            )
+        else:
+            o = ring_attention_local(q2, k2, v2, axis=ring_axis, causal=causal)
         return _a2a_gather_heads(o, ulysses_axis)
 
     fn = jax.shard_map(
@@ -215,6 +230,7 @@ def zigzag_ring_attention(
             ring_flash_attention_shard, axis_name=axis,
             softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
             interpret=interpret, causal="token", zigzag=True,
+            mesh_axes=tuple(mesh.axis_names),
         ),
         mesh=mesh,
         in_specs=(spec, spec, spec),
@@ -258,6 +274,7 @@ def stripe_ring_attention(
             ring_flash_attention_shard, axis_name=axis,
             softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
             interpret=interpret, causal="stripe",
+            mesh_axes=tuple(mesh.axis_names),
         ),
         mesh=mesh,
         in_specs=(spec, spec, spec),

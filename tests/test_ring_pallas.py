@@ -237,3 +237,27 @@ def test_ring_trainable_gradients_match_dense():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3, err_msg=name
         )
+
+
+def test_hybrid_with_pallas_ring():
+    """2-D Ulysses×ring with the fused kernel inner == full attention.
+
+    Multi-axis meshes need MESH device ids, which the Mosaic interpreter
+    does not support — hardware-only (tools/dev runs it on the chip)."""
+    pytest.skip("MESH device ids unsupported by the Mosaic interpreter; "
+                "validated on hardware via tools/dev/tpu_ring_check.py")
+    from omnivideo_tpu.parallel.mesh import create_mesh
+    from omnivideo_tpu.parallel.ring import hybrid_attention
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = create_mesh(1, 2, 2)
+    rng = np.random.default_rng(9)
+    B, L, N, D = 1, 512, 4, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    ref = attention_xla(q, k, v)
+    out = hybrid_attention(q, k, v, mesh, ulysses_axis="fsdp", ring_axis="seq",
+                           ring_impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
