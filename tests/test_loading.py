@@ -184,3 +184,38 @@ def test_hf_safetensors_reader_roundtrip(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([[1, 5, 9, 2]])).logits.numpy()
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=3e-3, atol=3e-3)
+
+
+def test_aot_export_roundtrip(tmp_path):
+    """jax.export artifact of the denoise step: serialize → deserialize →
+    call matches the live forward."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from omnivideo_tpu.configs.base import WanDiTConfig
+    from omnivideo_tpu.models.wan_dit import init_wan_dit, wan_dit_apply
+
+    cfg = WanDiTConfig(
+        patch_size=(1, 2, 2), text_len=16, in_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=48, out_dim=4, num_heads=4, num_layers=2,
+        qk_norm=True, cross_attn_norm=True, eps=1e-6,
+    )
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+    def f(params, x, t, ctx):
+        return wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla")
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 3, 8, 8))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 48))
+    shapes = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (params, x, t, ctx)
+    )
+    blob = jexport.export(jax.jit(f))(*shapes).serialize()
+    (tmp_path / "dit.aot").write_bytes(blob)
+
+    art = jexport.deserialize((tmp_path / "dit.aot").read_bytes())
+    out = art.call(params, x, t, ctx)
+    ref = f(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
