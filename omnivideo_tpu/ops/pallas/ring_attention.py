@@ -362,7 +362,7 @@ def ring_flash_attention_shard(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def ring_flash_attention_trainable(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -373,32 +373,57 @@ def ring_flash_attention_trainable(
     block_k: int = 256,
     interpret: bool = False,
     mesh_axes: Optional[tuple] = None,
+    causal: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Differentiable fused ring flash attention (non-causal, call inside
-    shard_map). Forward = ring_flash_attention_shard (remote-DMA overlapped
-    kernel); backward = n ring steps of `flash_bwd_core` driven by the global
+    """Differentiable fused ring flash attention (call inside shard_map).
+
+    Forward = ring_flash_attention_shard (remote-DMA overlapped kernel);
+    backward = n ring steps of `flash_bwd_core` driven by the global
     (lse, delta) row stats — dq accumulates locally, the visiting K/V shard's
     dk/dv travel WITH it around the ring and arrive home after the full cycle
-    (role of reference ring_flash_attn.py backward + RingComm)."""
+    (role of reference ring_flash_attn.py backward + RingComm).
+
+    causal: None, "block" (whole-shard visibility — invisible steps get zero
+    gradient), or "token" (own-shard step uses a dense triangular backward
+    with the global row stats; other steps stay on the Pallas kernels)."""
     return ring_flash_attention_shard(
         q, k, v, axis_name=axis_name, softmax_scale=softmax_scale,
         block_q=block_q, block_k=block_k, interpret=interpret,
-        mesh_axes=mesh_axes,
+        mesh_axes=mesh_axes, causal=causal,
     )
 
 
 def _ring_trainable_fwd(q, k, v, axis_name, softmax_scale, block_q, block_k,
-                        interpret, mesh_axes):
+                        interpret, mesh_axes, causal):
     out, lse = ring_flash_attention_shard(
         q, k, v, axis_name=axis_name, softmax_scale=softmax_scale,
         block_q=block_q, block_k=block_k, interpret=interpret, return_lse=True,
-        mesh_axes=mesh_axes,
+        mesh_axes=mesh_axes, causal=causal,
     )
     return out, (q, k, v, out, lse)
 
 
+def _dense_causal_bwd_step(qt, kt, vt, do, lse_b, delta_b, scale):
+    """Dense triangular backward for the own-shard ring step, driven by the
+    GLOBAL row stats (p = exp(s − lse) with s masked by the causal triangle).
+    O(Lq·Lk) scores per head — used only for one of the n ring steps."""
+    BN, Lq, D = qt.shape
+    Lk = kt.shape[1]
+    s = jnp.einsum("bid,bjd->bij", qt.astype(jnp.float32),
+                   kt.astype(jnp.float32)) * scale
+    tri = jnp.tril(jnp.ones((Lq, Lk), bool))[None]
+    p = jnp.where(tri, jnp.exp(s - lse_b[:, :, :1]), 0.0)
+    dov = jnp.einsum("bid,bjd->bij", do.astype(jnp.float32),
+                     vt.astype(jnp.float32))
+    ds = p * (dov - delta_b[:, :, :1])
+    dq = jnp.einsum("bij,bjd->bid", ds, kt.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bij,bid->bjd", ds, qt.astype(jnp.float32)) * scale
+    dv = jnp.einsum("bij,bid->bjd", p, do.astype(jnp.float32))
+    return dq, dk, dv
+
+
 def _ring_trainable_bwd(axis_name, softmax_scale, block_q, block_k, interpret,
-                        mesh_axes, res, g):
+                        mesh_axes, causal, res, g):
     from .flash_attention import flash_bwd_core
 
     q, k, v, out, lse = res
@@ -418,12 +443,36 @@ def _ring_trainable_bwd(axis_name, softmax_scale, block_q, block_k, interpret,
 
     perm_fn = lambda n: [(i, (i + 1) % n) for i in range(n)]
 
+    my_id = jax.lax.axis_index(axis_name)
+
     def body(i, carry):
         dq_acc, kt_c, vt_c, dk_c, dv_c = carry
-        dq_p, dk_p, dv_p = flash_bwd_core(
-            qt, kt_c, vt_c, do, lse_b, delta_b, kv_lens_bn, scale=scale,
-            block_q=block_q, block_k=block_k, interpret=interpret,
-        )
+        src = jax.lax.rem(my_id - i + jax.lax.psum(1, axis_name),
+                          jax.lax.psum(1, axis_name))
+        if causal == "token":
+            # own-shard step: dense triangular bwd; earlier shards: full
+            # Pallas bwd; later shards: zero contribution
+            full = flash_bwd_core(
+                qt, kt_c, vt_c, do, lse_b, delta_b, kv_lens_bn, scale=scale,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+            )
+            tri = _dense_causal_bwd_step(qt, kt_c, vt_c, do, lse_b, delta_b,
+                                         scale)
+            own = src == my_id
+            vis = (src < my_id).astype(jnp.float32)
+            dq_p, dk_p, dv_p = (
+                jnp.where(own, t, f.astype(jnp.float32) * vis)
+                for f, t in zip(full, tri)
+            )
+        else:
+            dq_p, dk_p, dv_p = flash_bwd_core(
+                qt, kt_c, vt_c, do, lse_b, delta_b, kv_lens_bn, scale=scale,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+            )
+            if causal == "block":
+                vis = (src <= my_id).astype(jnp.float32)
+                dq_p, dk_p, dv_p = (x.astype(jnp.float32) * vis
+                                    for x in (dq_p, dk_p, dv_p))
         dq_acc = dq_acc + dq_p.astype(jnp.float32)
         dk_c = dk_c + dk_p.astype(jnp.float32)
         dv_c = dv_c + dv_p.astype(jnp.float32)

@@ -261,3 +261,41 @@ def test_hybrid_with_pallas_ring():
     out = hybrid_attention(q, k, v, mesh, ulysses_axis="fsdp", ring_axis="seq",
                            ring_impl="pallas")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_ring_trainable_causal_gradients():
+    """Causal (token) trainable ring gradients == dense causal VJP."""
+    from omnivideo_tpu.ops.pallas.ring_attention import (
+        ring_flash_attention_trainable,
+    )
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(10)
+    B, L, N, D = 1, 512, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+
+    def ring_loss(q, k, v):
+        f = shard_map(
+            functools.partial(ring_flash_attention_trainable, axis_name="seq",
+                              block_q=128, block_k=128, interpret=True,
+                              causal="token"),
+            mesh=mesh, in_specs=(P(None, "seq"),) * 3,
+            out_specs=P(None, "seq"), check_vma=False,
+        )
+        return jnp.sum(f(q, k, v) * w)
+
+    def dense_loss(q, k, v):
+        s = jnp.einsum("bind,bjnd->bnij", q, k) / np.sqrt(D)
+        s = jnp.where(jnp.tril(jnp.ones((L, L), bool))[None, None], s, -1e30)
+        o = jnp.einsum("bnij,bjnd->bind", jax.nn.softmax(s, axis=-1), v)
+        return jnp.sum(o * w)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_dense, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3, err_msg=name
+        )
