@@ -219,3 +219,48 @@ def test_aot_export_roundtrip(tmp_path):
     out = art.call(params, x, t, ctx)
     ref = f(params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_dual_expert_boundary_split():
+    """A14B-style dual-expert pipeline: high-noise expert runs steps with
+    t ≥ boundary·T, low-noise the rest (x2x_gen_unified.py:228-258,407)."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.pipelines.x2x import OmniVideoX2XUnified
+    from omnivideo_tpu.schedulers.unipc import FlowUniPC
+
+    cfg = CFG.replace(dual_expert=True, boundary=0.5, param_dtype="float32")
+    pipe = OmniVideoX2XUnified.random_init(cfg, seed=0, with_vae=False)
+    assert pipe.high_noise is not pipe.low_noise
+
+    # un-zero both heads DIFFERENTLY so each expert leaves a signature
+    for expert, seed in ((pipe.low_noise, 1), (pipe.high_noise, 2)):
+        hk = expert.wan["head"]["head"]["kernel"]
+        expert.wan["head"]["head"]["kernel"] = (
+            jax.random.normal(jax.random.PRNGKey(seed), hk.shape) * 0.05
+        )
+
+    # boundary math: with shift=5, check the static split the pipeline uses
+    solver = FlowUniPC.create(6, shift=5.0, num_train_timesteps=1000)
+    n_high = int((solver.timesteps >= 500).sum())
+    assert 0 < n_high < 6  # both experts actually execute
+
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (8, cfg.dit.text_dim))
+    kw = dict(precomputed_context=ctx, precomputed_context_null=ctx * 0,
+              size=(32, 32), frame_num=1, sampling_steps=6, shift=5.0,
+              seed=11, decode=False)
+    lat = pipe.generate(**kw)
+
+    # swapping the experts must change the result (each segment's expert
+    # matters); a single-expert pipeline would be invariant
+    pipe.low_noise, pipe.high_noise = pipe.high_noise, pipe.low_noise
+    pipe._denoise_cache.clear()
+    lat_sw = pipe.generate(**kw)
+    assert float(jnp.max(jnp.abs(lat - lat_sw))) > 1e-6
+
+    # per-segment guide scales: tuple (low, high) accepted
+    pipe.low_noise, pipe.high_noise = pipe.high_noise, pipe.low_noise
+    pipe._denoise_cache.clear()
+    lat_g = pipe.generate(**{**kw, "guide_scale": (3.0, 4.0)})
+    assert bool(jnp.isfinite(lat_g).all())
