@@ -363,3 +363,70 @@ def hf_to_params(sd: Dict[str, Any], cfg: Qwen3TextConfig):
     if not cfg.tie_word_embeddings:
         params["lm_head"] = t("lm_head.weight")
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def qwen3_forward_sp(
+    params,
+    cfg: Qwen3TextConfig,
+    ids: jnp.ndarray,
+    mesh,
+    seq_axis: str = "seq",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequence-parallel causal forward: tokens sharded over `seq_axis`,
+    attention via the differentiable token-causal ring
+    (parallel/ring.py::ring_attention_local — role of the reference hybrid
+    Ulysses×ring MLLM training stack, hybrid_attn.py:93-190). GQA K/V heads
+    are expanded before the ring, like the reference _ExpandKVFunction
+    (ulysses_attn.py:26). Returns GLOBAL (hidden, logits), sharded over L.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.ring import ring_attention_local
+
+    n = mesh.shape[seq_axis]
+    B, L = ids.shape
+    assert L % n == 0, (L, n)
+    N, K, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def local(params, ids_l):
+        Ll = ids_l.shape[1]
+        i = jax.lax.axis_index(seq_axis)
+        pos = jnp.broadcast_to(i * Ll + jnp.arange(Ll)[None], (B, Ll))
+        x = params["embed"][ids_l]
+
+        def body(xx, lp):
+            hn = _rms(xx, lp["ln1"], cfg.rms_norm_eps)
+            ap = lp["attn"]
+            q = (hn @ ap["q"]).reshape(B, Ll, N, hd)
+            k = (hn @ ap["k"]).reshape(B, Ll, K, hd)
+            v = (hn @ ap["v"]).reshape(B, Ll, K, hd)
+            q = _rms(q, ap["q_norm"], cfg.rms_norm_eps)
+            k = _rms(k, ap["k_norm"], cfg.rms_norm_eps)
+            q = _rope(q, pos, cfg.rope_theta)
+            k = _rope(k, pos, cfg.rope_theta)
+            rep = N // K
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+            o = ring_attention_local(q, k, v, axis=seq_axis, causal="token")
+            xx = xx + o.reshape(B, Ll, N * hd) @ ap["o"]
+            hn2 = _rms(xx, lp["ln2"], cfg.rms_norm_eps)
+            if "experts" in lp["mlp"]:
+                xx = xx + _moe(lp["mlp"], hn2, cfg)
+            else:
+                xx = xx + _mlp(lp["mlp"], hn2)
+            return xx, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        hidden = _rms(x, params["norm"], cfg.rms_norm_eps)
+        head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+        logits = hidden @ (head.T if cfg.tie_word_embeddings else head)
+        return hidden, logits
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, seq_axis)),
+        out_specs=(P(None, seq_axis, None), P(None, seq_axis, None)),
+        check_vma=False,
+    )
+    return fn(params, ids)

@@ -29,12 +29,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_INF = -1e30
 
 
-def _block_attn(q, k, v, scale):
+def _block_attn(q, k, v, scale, bias=None):
     """Partial attention for one K/V block.
 
     Returns (unnormalized out [B,Lq,N,D] f32, m [B,N,Lq,1], l [B,N,Lq,1]).
     """
     s = jnp.einsum("bind,bjnd->bnij", q, k, preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias[None, None]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -43,12 +45,18 @@ def _block_attn(q, k, v, scale):
 
 
 def ring_attention_local(
-    q, k, v, axis: str = "seq", causal: bool = False, softmax_scale: Optional[float] = None
+    q, k, v, axis: str = "seq", causal=False, softmax_scale: Optional[float] = None
 ):
     """Ring attention on sequence-sharded q/k/v; call inside shard_map.
 
     q/k/v: [B, L/n, N, D] local blocks. K/V rotate n−1 times via ppermute;
     online merge keeps a running (out, m, l) triple (ring/utils.py:29-40).
+
+    causal: False, True/"block" (whole shards from ranks ≤ own — the
+    reference ring step<=rank skip at shard granularity), or "token"
+    (additionally a triangular mask inside the own-rank block — exact LM
+    causality when shards are contiguous). Fully differentiable (ppermute
+    has a transpose rule), so this is the training path for causal SP.
     """
     n = jax.lax.psum(1, axis)
     my = jax.lax.axis_index(axis)
@@ -62,7 +70,14 @@ def ring_attention_local(
         out, m, l, kk, vv = carry
         src_rank = (my - i) % n  # which device's block we currently hold
 
-        o_b, m_b, l_b = _block_attn(qf, kk, vv, scale)
+        tri = None
+        if causal == "token":
+            # intra-shard triangle applies only when holding our own block
+            qpos = jnp.arange(Lq)[:, None]
+            kpos = jnp.arange(kk.shape[1])[None, :]
+            own_mask = jnp.where(qpos >= kpos, 0.0, NEG_INF)  # [Lq, Lk]
+            tri = jnp.where(src_rank == my, own_mask, jnp.zeros_like(own_mask))
+        o_b, m_b, l_b = _block_attn(qf, kk, vv, scale, bias=tri)
         if causal:
             # keep only blocks from ranks ≤ own (block-causal across the ring)
             keep = (src_rank <= my).astype(jnp.float32)

@@ -56,13 +56,26 @@ def make_sft_optimizer(tc: SFTConfig) -> optax.GradientTransformation:
     )
 
 
-def lm_loss(lm_params, cfg: Qwen3TextConfig, ids, labels, attn_mask=None):
+def lm_loss(lm_params, cfg: Qwen3TextConfig, ids, labels, attn_mask=None,
+            sp_mesh=None, seq_axis: str = "seq"):
     """Next-token cross-entropy with -100 masking.
 
     ids/labels: [B, L] int32. logits[t] predicts labels[t+1] (causal shift).
     Returns (mean loss over unmasked targets, num targets).
+
+    sp_mesh: run the forward sequence-parallel over `seq_axis` (ring
+    token-causal attention, models/qwen3vl/text_model.py::qwen3_forward_sp);
+    the causal shift happens on the GLOBAL sharded logits, so the loss is
+    identical to the single-device form. Note: padding must sit at the tail
+    (the SP forward has no attn_mask — tail pads are masked out of the loss
+    and cannot influence earlier positions under causality).
     """
-    _, logits = qwen3_forward(lm_params, cfg, ids, attn_mask)
+    if sp_mesh is not None:
+        from ..models.qwen3vl.text_model import qwen3_forward_sp
+
+        _, logits = qwen3_forward_sp(lm_params, cfg, ids, sp_mesh, seq_axis)
+    else:
+        _, logits = qwen3_forward(lm_params, cfg, ids, attn_mask)
     logits = logits[:, :-1].astype(jnp.float32)
     targets = labels[:, 1:]
     mask = (targets != IGNORE_INDEX).astype(jnp.float32)
@@ -77,16 +90,19 @@ def make_sft_step(
     cfg: Qwen3TextConfig,
     tc: SFTConfig,
     tx: optax.GradientTransformation,
+    sp_mesh=None,
 ):
     """Jittable SFT step.
 
     batch: {'ids': [B,L], 'labels': [B,L]} (+ 'attn_mask' optional;
     + 'vlm'/'target' when align_weight > 0, see training/align.py).
+    sp_mesh: sequence-parallel LM forward (see lm_loss).
     """
 
     def loss_fn(params, batch):
         loss, n = lm_loss(
-            params["lm"], cfg, batch["ids"], batch["labels"], batch.get("attn_mask")
+            params["lm"], cfg, batch["ids"], batch["labels"],
+            batch.get("attn_mask"), sp_mesh=sp_mesh,
         )
         metrics = {"lm_loss": loss, "num_targets": n}
         if tc.align_weight > 0.0:

@@ -299,3 +299,44 @@ def test_ring_trainable_causal_gradients():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3, err_msg=name
         )
+
+
+def test_ppermute_ring_token_causal():
+    """ring_attention_local(causal="token") == dense causal, and is
+    differentiable (the SP-LM training path)."""
+    from omnivideo_tpu.parallel.ring import ring_attention_local
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(11)
+    B, L, N, D = 1, 256, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+
+    def ring(q, k, v):
+        f = shard_map(
+            functools.partial(ring_attention_local, axis="seq", causal="token"),
+            mesh=mesh, in_specs=(P(None, "seq"),) * 3,
+            out_specs=P(None, "seq"), check_vma=False,
+        )
+        return f(q, k, v)
+
+    s = jnp.einsum("bind,bjnd->bnij", q, k) / np.sqrt(D)
+    s = jnp.where(jnp.tril(jnp.ones((L, L), bool))[None, None], s, -1e30)
+    ref = jnp.einsum("bnij,bjnd->bind", jax.nn.softmax(s, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(ring(q, k, v)), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    g_r = jax.grad(lambda *a: jnp.sum(ring(*a) * w), argnums=(0, 1, 2))(q, k, v)
+    g_d = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.einsum(
+            "bnij,bjnd->bind",
+            jax.nn.softmax(jnp.where(
+                jnp.tril(jnp.ones((L, L), bool))[None, None],
+                jnp.einsum("bind,bjnd->bnij", q, k) / np.sqrt(D), -1e30),
+                axis=-1), v) * w),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_r, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)

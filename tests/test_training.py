@@ -373,3 +373,66 @@ def test_sft_collate_masks():
     assert (lab[1, :2] == IGNORE_INDEX).all() and (lab[1, 6:] == IGNORE_INDEX).all()
     am = np.asarray(b["attn_mask"])
     assert am[0].sum() == 10 and am[1].sum() == 6
+
+
+def test_sft_step_sequence_parallel():
+    """SFT with the sequence-parallel LM forward (ring token-causal) gives
+    the same loss and updates as single-device."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    import jax.tree_util as jtu
+
+    from omnivideo_tpu.models.qwen3vl.text_model import Qwen3TextConfig
+    from omnivideo_tpu.parallel.mesh import create_mesh
+    from omnivideo_tpu.training.sft import (
+        SFTConfig,
+        build_sft_labels,
+        init_sft_state,
+        make_sft_optimizer,
+        make_sft_step,
+    )
+
+    cfg = Qwen3TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+    )
+    mesh = create_mesh(1, 1, 4)
+
+    def lin(k, i, o):
+        return jax.random.normal(k, (i, o)) * 0.05
+
+    D, V, hd = 32, 64, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 10)
+    layer = {
+        "attn": {"q": lin(ks[0], D, 2 * hd), "k": lin(ks[1], D, hd),
+                 "v": lin(ks[2], D, hd), "o": lin(ks[3], 2 * hd, D),
+                 "q_norm": jnp.ones((hd,)), "k_norm": jnp.ones((hd,))},
+        "ln1": jnp.ones((D,)), "ln2": jnp.ones((D,)),
+        "mlp": {"gate": lin(ks[4], D, 64), "up": lin(ks[5], D, 64),
+                "down": lin(ks[6], 64, D)},
+    }
+    params = {"lm": {
+        "embed": jax.random.normal(ks[7], (V, D)) * 0.05,
+        "layers": jtu.tree_map(lambda x: x[None], layer),
+        "norm": jnp.ones((D,)),
+        "lm_head": jax.random.normal(ks[8], (D, V)) * 0.05,
+    }}
+    ids = jax.random.randint(ks[9], (2, 16), 0, V)
+    batch = {"ids": ids, "labels": build_sft_labels(ids, jnp.array([4, 6]))}
+
+    tc = SFTConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+    tx = make_sft_optimizer(tc)
+    with mesh:
+        step_sp = jax.jit(make_sft_step(cfg, tc, tx, sp_mesh=mesh))
+        st_sp, m_sp = step_sp(init_sft_state(params, tx), batch)
+    step_1d = jax.jit(make_sft_step(cfg, tc, tx))
+    st_1d, m_1d = step_1d(init_sft_state(params, tx), batch)
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_1d["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(m_sp["grad_norm"]), float(m_1d["grad_norm"]), rtol=1e-3
+    )

@@ -47,6 +47,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree (ring token-causal attention)")
     p.add_argument("--dummy_data", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None)
@@ -165,14 +167,14 @@ def main():
         }
 
     mesh = None
-    if args.dp * args.fsdp > 1:
+    if args.dp * args.fsdp * args.sp > 1:
         from omnivideo_tpu.parallel.mesh import create_mesh
         from omnivideo_tpu.parallel.sharding import params_shardings
 
-        mesh = create_mesh(args.dp, args.fsdp, 1)
+        mesh = create_mesh(args.dp, args.fsdp, args.sp)
         sh = params_shardings(params, mesh)
         params = jax.tree_util.tree_map(jax.device_put, params, sh)
-        log.info("mesh dp=%d fsdp=%d", args.dp, args.fsdp)
+        log.info("mesh dp=%d fsdp=%d sp=%d", args.dp, args.fsdp, args.sp)
 
     tc = SFTConfig(
         learning_rate=args.lr, max_grad_norm=args.grad_clip,
@@ -180,7 +182,8 @@ def main():
         align_weight=args.align_weight, cosine_weight=args.cosine_weight,
     )
     tx = make_sft_optimizer(tc)
-    step = jax.jit(make_sft_step(cfg, tc, tx))
+    step = jax.jit(make_sft_step(cfg, tc, tx,
+                                 sp_mesh=mesh if args.sp > 1 else None))
     state = init_sft_state(params, tx)
 
     out = Path(args.output_dir)
