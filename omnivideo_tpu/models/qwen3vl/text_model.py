@@ -371,27 +371,43 @@ def qwen3_forward_sp(
     ids: jnp.ndarray,
     mesh,
     seq_axis: str = "seq",
+    ulysses_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sequence-parallel causal forward: tokens sharded over `seq_axis`,
     attention via the differentiable token-causal ring
     (parallel/ring.py::ring_attention_local — role of the reference hybrid
     Ulysses×ring MLLM training stack, hybrid_attn.py:93-190). GQA K/V heads
     are expanded before the ring, like the reference _ExpandKVFunction
-    (ulysses_attn.py:26). Returns GLOBAL (hidden, logits), sharded over L.
+    (ulysses_attn.py:26). With `ulysses_axis` set this becomes the 2-D hybrid:
+    tokens sharded over (ulysses × ring), heads scattered over the ulysses
+    axis around the ring (SeqAllToAll4D, all_to_all.py:25). Returns GLOBAL
+    (hidden, logits), sharded over L.
     """
     from jax.sharding import PartitionSpec as P
 
     from ...parallel.ring import ring_attention_local
+    from ...parallel.ulysses import _a2a_gather_heads, _a2a_scatter_heads
 
     n = mesh.shape[seq_axis]
+    nu = mesh.shape[ulysses_axis] if ulysses_axis else 1
     B, L = ids.shape
-    assert L % n == 0, (L, n)
+    assert L % (n * nu) == 0, (L, n, nu)
     N, K, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    if ulysses_axis:
+        assert N % nu == 0, (N, nu)
 
     def local(params, ids_l):
         Ll = ids_l.shape[1]
         i = jax.lax.axis_index(seq_axis)
-        pos = jnp.broadcast_to(i * Ll + jnp.arange(Ll)[None], (B, Ll))
+        if ulysses_axis:
+            # ring-major layout (reference use_ulysses_low: ring outer,
+            # ulysses inner) so each ring rank holds one CONTIGUOUS
+            # superblock after the head-scatter a2a gathers the sequence
+            iu = jax.lax.axis_index(ulysses_axis)
+            start = (i * nu + iu) * Ll
+        else:
+            start = i * Ll
+        pos = jnp.broadcast_to(start + jnp.arange(Ll)[None], (B, Ll))
         x = params["embed"][ids_l]
 
         def body(xx, lp):
@@ -407,7 +423,13 @@ def qwen3_forward_sp(
             rep = N // K
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
+            if ulysses_axis:
+                q = _a2a_scatter_heads(q, ulysses_axis)
+                k = _a2a_scatter_heads(k, ulysses_axis)
+                v = _a2a_scatter_heads(v, ulysses_axis)
             o = ring_attention_local(q, k, v, axis=seq_axis, causal="token")
+            if ulysses_axis:
+                o = _a2a_gather_heads(o, ulysses_axis)
             xx = xx + o.reshape(B, Ll, N * hd) @ ap["o"]
             hn2 = _rms(xx, lp["ln2"], cfg.rms_norm_eps)
             if "experts" in lp["mlp"]:
@@ -422,11 +444,12 @@ def qwen3_forward_sp(
         logits = hidden @ (head.T if cfg.tie_word_embeddings else head)
         return hidden, logits
 
+    shard = (seq_axis, ulysses_axis) if ulysses_axis else seq_axis
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(None, seq_axis)),
-        out_specs=(P(None, seq_axis, None), P(None, seq_axis, None)),
+        in_specs=(P(), P(None, shard)),
+        out_specs=(P(None, shard, None), P(None, shard, None)),
         check_vma=False,
     )
     return fn(params, ids)

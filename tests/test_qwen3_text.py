@@ -180,3 +180,41 @@ def test_qwen3_forward_sp_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(g_sp["embed"]), np.asarray(g_1d["embed"]), rtol=5e-3, atol=5e-3
     )
+
+
+def test_qwen3_forward_sp_hybrid_2d():
+    """2-D hybrid SP (ulysses×ring, ring-major layout) == single-device."""
+    import jax
+
+    from omnivideo_tpu.models.qwen3vl.text_model import (
+        qwen3_forward,
+        qwen3_forward_sp,
+    )
+    from omnivideo_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    hf_cfg = Qwen3Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        rope_theta=10000.0, tie_word_embeddings=False,
+    )
+    torch.manual_seed(31)
+    m = Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = Qwen3TextConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        rope_theta=10000.0,
+    )
+    params = hf_to_params(_sd_np(m), cfg)
+    mesh = create_mesh(1, 2, 4)  # ulysses=2 × ring=4
+    ids = jnp.asarray(
+        torch.randint(0, 96, (2, 32), generator=torch.Generator().manual_seed(32)).numpy()
+    )
+    _, ref = qwen3_forward(params, cfg, ids)
+    _, sp = qwen3_forward_sp(params, cfg, ids, mesh, ulysses_axis="fsdp")
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(ref), rtol=2e-3, atol=2e-3)
