@@ -13,7 +13,7 @@ import subprocess
 log = logging.getLogger(__name__)
 
 _DIR = pathlib.Path(__file__).parent
-_SO = _DIR / "frame_ops.so"
+_SO = _DIR / "libframe_ops.so"  # lib- prefix: not an importable Python module
 _SRC = _DIR / "frame_ops.cpp"
 
 
