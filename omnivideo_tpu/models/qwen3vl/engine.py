@@ -75,6 +75,8 @@ class VLMConfig:
     video_nframes: int = 6
     max_new_tokens: int = 512
     temperature: float = 0.0  # greedy by default (inference_omni_v2v_1_3B.sh:73-75)
+    fsdp: int = 1  # >1: shard the JAX params over an fsdp mesh axis — the
+    # 30B-A3B checkpoint exceeds a single chip's HBM (deployment path)
 
 
 class Qwen3VLEngine:
@@ -172,6 +174,7 @@ class Qwen3VLEngine:
         return text.strip()
 
     def _init_jax_params(self):
+        import jax
         import jax.numpy as jnp
 
         from .full_model import Qwen3VLConfig, qwen3vl_hf_to_params
@@ -217,6 +220,16 @@ class Qwen3VLEngine:
         )
         sd = {k: v.float().numpy() for k, v in self.model.state_dict().items()}
         self.jax_params = qwen3vl_hf_to_params(sd, self.jax_cfg)
+        if self.cfg.fsdp > 1:
+            from ...parallel.mesh import create_mesh
+            from ...parallel.sharding import params_shardings
+
+            self.mesh = create_mesh(1, self.cfg.fsdp, 1)
+            sh = params_shardings(self.jax_params, self.mesh)
+            self.jax_params = jax.tree_util.tree_map(
+                jax.device_put, self.jax_params, sh
+            )
+            log.info("VLM params FSDP-sharded over %d devices", self.cfg.fsdp)
 
     def _extract_hidden_jax(self, inputs) -> np.ndarray:
         """Run the multimodal forward in JAX; returns [1, L, D] numpy."""

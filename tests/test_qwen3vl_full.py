@@ -158,3 +158,34 @@ def test_sampled_decode_runs(tiny):
                               rng_seed=7)
     assert (a >= 0).all() and (a < cfg.text.vocab_size).all()
     np.testing.assert_array_equal(a, b)
+
+
+def test_fsdp_sharded_vlm_inference(tiny):
+    """FSDP-sharded VLM params (deployment path for 30B-A3B > 1 chip HBM):
+    sharded forward and greedy decode match unsharded."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from omnivideo_tpu.models.qwen3vl.full_model import qwen3vl_greedy_decode
+    from omnivideo_tpu.parallel.mesh import create_mesh
+    from omnivideo_tpu.parallel.sharding import params_shardings
+
+    m, cfg = tiny
+    input_ids, pixel, grid = _build_inputs(cfg, t=2, h=4, w=4, seed=5)
+    params = qwen3vl_hf_to_params({k: v.numpy() for k, v in m.state_dict().items()}, cfg)
+    mesh = create_mesh(1, 8, 1)
+    sh = params_shardings(params, mesh)
+    params_sh = jax.tree_util.tree_map(jax.device_put, params, sh)
+
+    ref = qwen3vl_forward(params, cfg, input_ids.numpy(),
+                          jnp.asarray(pixel.numpy()), (2, 4, 4))
+    out = qwen3vl_forward(params_sh, cfg, input_ids.numpy(),
+                          jnp.asarray(pixel.numpy()), (2, 4, 4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    t_ref = qwen3vl_greedy_decode(params, cfg, input_ids.numpy(),
+                                  jnp.asarray(pixel.numpy()), (2, 4, 4), 6)
+    t_sh = qwen3vl_greedy_decode(params_sh, cfg, input_ids.numpy(),
+                                 jnp.asarray(pixel.numpy()), (2, 4, 4), 6)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_sh))

@@ -54,6 +54,8 @@ def parse_args():
     p.add_argument("--vlm_path", default=None,
                    help="Qwen3-VL checkpoint; enables caption expansion + feature extraction")
     p.add_argument("--vlm_backend", default="hf", choices=["hf", "jax"])
+    p.add_argument("--vlm_fsdp", type=int, default=1,
+                   help="shard VLM params over this many devices (30B > 1-chip HBM)")
     p.add_argument("--features_dir", default=None,
                    help="precomputed VLM feature .npz dir (offline escape hatch)")
     # smoke / dev
@@ -139,7 +141,7 @@ def main():
     if args.vlm_path:
         from omnivideo_tpu.models.qwen3vl.engine import Qwen3VLEngine, VLMConfig
 
-        vlm = Qwen3VLEngine(VLMConfig(model_path=args.vlm_path, backend=args.vlm_backend))
+        vlm = Qwen3VLEngine(VLMConfig(model_path=args.vlm_path, backend=args.vlm_backend, fsdp=args.vlm_fsdp))
 
     # data-parallel JSONL sharding (reference generate_omni_v2v.py:573-574)
     dp_rank = args.dp_rank if args.dp_rank is not None else jax.process_index()
