@@ -200,7 +200,25 @@ class HuggingfaceTokenizer:
     def __init__(self, name: str, seq_len: int = 512, clean: str = "whitespace"):
         from transformers import AutoTokenizer
 
-        self.tokenizer = AutoTokenizer.from_pretrained(name, use_fast=True)
+        try:
+            self.tokenizer = AutoTokenizer.from_pretrained(name, use_fast=True)
+        except Exception as e:
+            from pathlib import Path
+
+            has_sp = (Path(name) / "spiece.model").exists() if Path(name).is_dir() else False
+            hint = (
+                f"failed to load a FAST tokenizer from {name!r}. This image has "
+                "no sentencepiece, so SP-only checkpoints (spiece.model without "
+                "tokenizer.json) cannot be converted here. Fix: on any machine "
+                "with sentencepiece installed run "
+                "AutoTokenizer.from_pretrained(path).save_pretrained(path) once "
+                "— it writes tokenizer.json next to spiece.model — or download "
+                "the HF-hub copy of the tokenizer (google/umt5-xxl ships "
+                "tokenizer.json)."
+            )
+            if has_sp:
+                raise RuntimeError(hint) from e
+            raise
         self.seq_len = seq_len
         self.clean = clean
 
