@@ -409,6 +409,16 @@ def wan_dit_apply(
     kv_lens = jnp.full((B,), L_nat, jnp.int32) if L > L_nat else None
 
     e, e0 = time_embeddings(params, cfg, t)
+    if mesh is not None:
+        # Anchor the tiny AdaLN tensors to batch-only sharding: without this,
+        # GSPMD propagation flips their layout between fsdp/seq tilings inside
+        # the block scan ("Involuntary full rematerialization" warnings).
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        repl = lambda a: jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, _P("data", *([None] * (a.ndim - 1))))
+        )
+        e, e0 = repl(e), repl(e0)
 
     if not context_embedded:
         context = embed_context(params, cfg, context)

@@ -49,7 +49,8 @@ def mesh_shape_for(n_devices: int) -> Tuple[int, int, int]:
     if n_devices == 1:
         return (1, 1, 1)
     if n_devices % 8 == 0:
-        return (n_devices // 8, 4, 2)
+        # dp>1 so the gradient all-reduce path is exercised alongside fsdp+sp
+        return (n_devices // 4, 2, 2)
     if n_devices % 4 == 0:
         return (n_devices // 4, 2, 2)
     if n_devices % 2 == 0:

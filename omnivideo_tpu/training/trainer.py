@@ -63,11 +63,14 @@ def _trainable_mask(params, filters):
 
 
 def make_optimizer(tc: TrainConfig, params=None):
+    # clamp warmup for short runs (smoke tests, tiny finetunes): optax
+    # requires decay_steps > warmup_steps
+    warmup = min(tc.warmup_steps, max(tc.total_steps - 1, 0))
     sched = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=tc.learning_rate,
-        warmup_steps=tc.warmup_steps,
-        decay_steps=tc.total_steps,
+        warmup_steps=warmup,
+        decay_steps=max(tc.total_steps, warmup + 1),
     )
     tx = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
