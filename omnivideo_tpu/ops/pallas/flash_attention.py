@@ -12,9 +12,11 @@ Replaces the reference's vendored flash-attn CUDA kernels
 - logits/accumulation in f32 on the MXU (`preferred_element_type`), inputs
   bf16; output cast back to the query dtype.
 
-Backward: differentiable via `jax.custom_vjp` with an XLA-attention VJP
-(recompute); a Pallas backward kernel is the planned upgrade for long-seq
-training.
+Backward: differentiable via `jax.custom_vjp` with dedicated Pallas dq and
+dk/dv kernels (below) that recompute logits from the saved LSE residuals —
+O(L) memory, matching the flash-attention-2 gradient schedule. The LSE output
+is only materialized on the VJP path (`with_lse`); plain inference calls skip
+it.
 """
 
 from __future__ import annotations
@@ -27,9 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# tuned on v5e at seq≈32k, D=128: 1024/1024 reaches ~51% MXU (3.9x over 256/256)
+# tuned on v5e at seq≈32k, D=128 (tools/dev/bench_flash.py): 1024/2048 hits
+# 78% MXU with boundary-only masking; s-tile [1024,2048] f32 = 8 MB VMEM
 DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
 
 
@@ -39,15 +42,16 @@ def _fa_kernel(
     k_ref,  # VMEM [1, BK, D]
     v_ref,  # VMEM [1, BK, D]
     o_ref,  # VMEM [1, BQ, D]
-    lse_ref,  # VMEM [1, BQ, 128] f32 logsumexp (column-broadcast)
-    m_scr,  # VMEM [BQ, 128] f32 running max
-    l_scr,  # VMEM [BQ, 128] f32 running denom
-    acc_scr,  # VMEM [BQ, D] f32 accumulator
-    *,
+    *refs,  # (lse_ref if with_lse), m_scr, l_scr, acc_scr
     scale: float,
     block_k: int,
     kv_steps: int,
+    with_lse: bool,
 ):
+    if with_lse:
+        lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        m_scr, l_scr, acc_scr = refs
     kv_i = pl.program_id(2)
     kv_len = kv_len_ref[pl.program_id(0)]
 
@@ -59,21 +63,22 @@ def _fa_kernel(
 
     block_start = kv_i * block_k
 
-    @pl.when(block_start < kv_len)
-    def _compute():
-        q = q_ref[0]  # [BQ, D]
+    def _compute(masked: bool):
         k = k_ref[0]  # [BK, D]
         v = v_ref[0]
+        # fold the softmax scale into q once per [BQ, D] tile — cheaper than
+        # scaling the [BQ, BK] logits every kv step
+        q = (q_ref[0].astype(jnp.float32) * scale).astype(k.dtype)
         s = jax.lax.dot_general(
             q,
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [BQ, BK]
+        )  # [BQ, BK]
 
-        # mask kv positions past the valid length
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + block_start
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        if masked:  # mask kv positions past the valid length
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + block_start
+            s = jnp.where(col < kv_len, s, NEG_INF)
 
         m_prev = m_scr[:, :1]  # [BQ, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
@@ -88,16 +93,44 @@ def _fa_kernel(
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
+    # interior blocks skip the iota/where masking work entirely; only the
+    # boundary block (straddling kv_len) pays for it
+    @pl.when(block_start + block_k <= kv_len)
+    def _full():
+        _compute(masked=False)
+
+    @pl.when(jnp.logical_and(block_start < kv_len, block_start + block_k > kv_len))
+    def _boundary():
+        _compute(masked=True)
+
     @pl.when(kv_i == kv_steps - 1)
     def _emit():
         denom = l_scr[:, :1]
         denom = jnp.where(denom == 0.0, 1.0, denom)  # fully-masked rows → 0
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:, :] + jnp.log(jnp.maximum(l_scr[:, :], 1e-30)))
+        if with_lse:
+            lse_ref[0] = (m_scr[:, :] + jnp.log(jnp.maximum(l_scr[:, :], 1e-30)))
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _pick_block_k(Lk: int, block_k: int) -> int:
+    """Largest multiple of 128 ≤ block_k that divides round_up(Lk, 128).
+
+    A divisor block means zero pad blocks, so at most one boundary block pays
+    the masking cost (e.g. Lk=6272 → bk=896 with no padding at all)."""
+    target = _round_up(Lk, 128)
+    best = 128
+    m = min(block_k, target)
+    m -= m % 128
+    while m >= 128:
+        if target % m == 0:
+            best = m
+            break
+        m -= 128
+    return best
 
 
 def _flash_fwd_impl(
@@ -110,17 +143,19 @@ def _flash_fwd_impl(
     block_k: int,
     interpret: bool = False,
     return_residuals: bool = False,
+    with_lse: bool = False,
 ):
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
     scale = softmax_scale if softmax_scale is not None else D**-0.5
+    with_lse = with_lse or return_residuals
 
     if kv_lens is None:
         kv_lens = jnp.full((B,), Lk, dtype=jnp.int32)
     kv_lens = kv_lens.astype(jnp.int32)
 
     bq = min(block_q, _round_up(Lq, 128))
-    bk = min(block_k, _round_up(Lk, 128))
+    bk = _pick_block_k(Lk, block_k)
     Lq_p = _round_up(Lq, bq)
     Lk_p = _round_up(Lk, bk)
 
@@ -137,9 +172,16 @@ def _flash_fwd_impl(
     grid = (B * N, Lq_p // bq, kv_steps)
 
     kernel = functools.partial(
-        _fa_kernel, scale=float(scale), block_k=bk, kv_steps=kv_steps
+        _fa_kernel, scale=float(scale), block_k=bk, kv_steps=kv_steps,
+        with_lse=with_lse,
     )
 
+    o_spec = pl.BlockSpec(
+        (1, bq, D), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM
+    )
+    lse_spec = pl.BlockSpec(
+        (1, bq, 128), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -156,14 +198,7 @@ def _flash_fwd_impl(
                     (1, bk, D), lambda b, qi, ki, *_: (b, ki, 0), memory_space=pltpu.VMEM
                 ),
             ],
-            out_specs=(
-                pl.BlockSpec(
-                    (1, bq, D), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (1, bq, 128), lambda b, qi, ki, *_: (b, qi, 0), memory_space=pltpu.VMEM
-                ),
-            ),
+            out_specs=(o_spec, lse_spec) if with_lse else o_spec,
             scratch_shapes=[
                 pltpu.VMEM((bq, 128), jnp.float32),
                 pltpu.VMEM((bq, 128), jnp.float32),
@@ -171,21 +206,29 @@ def _flash_fwd_impl(
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B * N, Lq_p, D), q.dtype),
-            jax.ShapeDtypeStruct((B * N, Lq_p, 128), jnp.float32),
+            (
+                jax.ShapeDtypeStruct((B * N, Lq_p, D), q.dtype),
+                jax.ShapeDtypeStruct((B * N, Lq_p, 128), jnp.float32),
+            )
+            if with_lse
+            else jax.ShapeDtypeStruct((B * N, Lq_p, D), q.dtype)
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * N * Lq_p * Lk_p * D,
             bytes_accessed=(B * N * (Lq_p + 2 * Lk_p + Lq_p) * D * 2),
             transcendentals=B * N * Lq_p * Lk_p,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(kv_lens_bn, qt, kt, vt)
-    out, lse = out
+    if with_lse:
+        out, lse = out
     out = out.reshape(B, N, Lq_p, D).transpose(0, 2, 1, 3)[:, :Lq]
-    lse = lse[:, :, 0].reshape(B, N, Lq_p)[:, :, :Lq]  # [B, N, Lq]
     if return_residuals:
-        return out, (lse, qt, kt, vt, kv_lens_bn, Lq_p, Lk_p, bq, bk)
+        lse_r = lse[:, :, 0].reshape(B, N, Lq_p)[:, :, :Lq]  # [B, N, Lq]
+        return out, (lse_r, qt, kt, vt, kv_lens_bn, Lq_p, Lk_p, bq, bk)
     return out
 
 
