@@ -71,6 +71,9 @@ def parse_args():
                    help="v1 condition modes (reference generate.py:453)")
     p.add_argument("--token_order", default="v2", choices=["v2", "v1"],
                    help="mixed-context assembly order (v1 = omni_video_model.py:337)")
+    from omnivideo_tpu.parallel.distributed import add_distributed_args
+
+    add_distributed_args(p)
     return p.parse_args()
 
 
@@ -82,6 +85,12 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # multi-host bring-up BEFORE any backend touch (reference torchrun
+    # rendezvous, generate_omni_v2v.py:408-412); single-process = no-op
+    from omnivideo_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed(args.coordinator, args.num_processes,
+                                 args.process_id)
     import jax.numpy as jnp
     import numpy as np
 

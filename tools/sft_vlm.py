@@ -52,6 +52,9 @@ def parse_args():
     p.add_argument("--dummy_data", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None)
+    from omnivideo_tpu.parallel.distributed import add_distributed_args
+
+    add_distributed_args(p)
     return p.parse_args()
 
 
@@ -127,6 +130,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from omnivideo_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed(args.coordinator, args.num_processes,
+                                 args.process_id)
     import jax.numpy as jnp
 
     from omnivideo_tpu.training.sft import (
