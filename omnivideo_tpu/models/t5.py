@@ -192,9 +192,10 @@ class HuggingfaceTokenizer:
     """Tokenizer wrapper (reference `omnivideo/modules/tokenizers.py:36-81`):
     whitespace cleaning, fixed-length padding/truncation, attention mask.
 
-    Loads a fast tokenizer (tokenizer.json) — sentencepiece is not available
-    in this image, so slow SP-only checkpoints need their tokenizer.json
-    exported once elsewhere.
+    Loads a fast tokenizer (tokenizer.json). SP-only checkpoint dirs
+    (spiece.model without tokenizer.json, the reference's umT5 layout) are
+    converted automatically via utils/spm_convert.py — no sentencepiece
+    runtime needed.
     """
 
     def __init__(self, name: str, seq_len: int = 512, clean: str = "whitespace"):
@@ -206,19 +207,24 @@ class HuggingfaceTokenizer:
             from pathlib import Path
 
             has_sp = (Path(name) / "spiece.model").exists() if Path(name).is_dir() else False
-            hint = (
-                f"failed to load a FAST tokenizer from {name!r}. This image has "
-                "no sentencepiece, so SP-only checkpoints (spiece.model without "
-                "tokenizer.json) cannot be converted here. Fix: on any machine "
-                "with sentencepiece installed run "
-                "AutoTokenizer.from_pretrained(path).save_pretrained(path) once "
-                "— it writes tokenizer.json next to spiece.model — or download "
-                "the HF-hub copy of the tokenizer (google/umt5-xxl ships "
-                "tokenizer.json)."
+            if not has_sp:
+                raise
+            # SP-only dir: convert spiece.model -> tokenizer.json in place
+            # (or to a tmp cache if the dir is read-only) and load that.
+            from transformers import PreTrainedTokenizerFast
+
+            from ..utils.spm_convert import ensure_fast_tokenizer
+
+            fast_path = ensure_fast_tokenizer(name)
+            if fast_path is None:
+                raise RuntimeError(
+                    f"could not convert {name!r}/spiece.model to a fast "
+                    "tokenizer; see tools/export_tokenizer.py"
+                ) from e
+            self.tokenizer = PreTrainedTokenizerFast(
+                tokenizer_file=str(fast_path),
+                unk_token="<unk>", eos_token="</s>", pad_token="<pad>",
             )
-            if has_sp:
-                raise RuntimeError(hint) from e
-            raise
         self.seq_len = seq_len
         self.clean = clean
 
