@@ -83,15 +83,32 @@ def _timed(fn, *args, n=3, warm=1):
     return (time.perf_counter() - t0) / n
 
 
+def _free():
+    """Release freed device buffers before the next memory-heavy phase."""
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
+
+
 def bench_t5_encode():
-    """umT5-XXL (5.3B) encode of the 2x512-token CFG prompt pair, bf16."""
+    """umT5-XXL (5.3B) encode of the 2x512-token CFG prompt pair, bf16.
+
+    Params are zeros allocated at exact bf16 size (eval_shape + zeros) —
+    random init would transiently double HBM (f32 normals) and timing on the
+    MXU is data-independent."""
     import jax
     import jax.numpy as jnp
 
     from omnivideo_tpu.models.t5 import T5Config, init_t5, t5_encode
 
     cfg = T5Config()
-    params = init_t5(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda k: init_t5(k, cfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     ids = jnp.ones((2, cfg.text_len), jnp.int32)
     mask = jnp.ones((2, cfg.text_len), jnp.int32)
     f = jax.jit(lambda p, i, m: jnp.sum(t5_encode(p, cfg, i, m).astype(jnp.float32)))
@@ -127,6 +144,7 @@ def bench_e2e_480p(steps=50):
     video = pipe.generate(**kwargs)
     t = time.perf_counter() - t0
     assert np.isfinite(video).all()
+    del pipe, video
     return t
 
 
@@ -149,12 +167,14 @@ def bench_720p_step():
     fwd = jax.jit(lambda p, x, t, c: jnp.sum(
         wan_dit_apply(p, dit_cfg, x, t, c, attn_impl="auto").astype(jnp.float32)))
     step_s = _timed(lambda *a: float(fwd(*a)), params, x, t, ctx, n=2)
-    del params
+    del params, x, ctx, fwd
+    _free()
 
     vae_params = init_vae(jax.random.PRNGKey(3), cfg.vae)
     z = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 21, 90, 160), jnp.float32)
     fd = jax.jit(lambda p, z: jnp.sum(vae_decode(p, cfg.vae, z, dtype=jnp.float32)))
     dec_s = _timed(lambda *a: float(fd(*a)), vae_params, z, n=1)
+    del vae_params, z
     return step_s, dec_s
 
 
@@ -274,28 +294,39 @@ def main():
         "vs_baseline_semantics": "fraction of bf16 roofline (reference publishes no numbers)",
     }
 
+    # free the primary-phase buffers before the memory-heavy phases
+    del x, ctx, t, fwd
+    _free()
+
     if on_tpu and not quick:
-        try:
-            detail["t5_xxl_encode_s"] = round(bench_t5_encode(), 3)
-        except Exception as e:
-            print(f"# t5 bench failed: {e}", file=sys.stderr)
         try:
             e2e = bench_e2e_480p(steps=50)
             detail["e2e_480p81f_50steps_s"] = round(e2e, 2)
-            detail["sec_per_video_480p_e2e"] = round(
-                e2e + detail.get("t5_xxl_encode_s", 0.0), 2
-            )
         except Exception as e:
             print(f"# e2e bench failed: {e}", file=sys.stderr)
+        _free()
         try:
             step720, dec720 = bench_720p_step()
             detail["dit_720p_step_s"] = round(step720, 3)
             detail["vae_decode_720p_s"] = round(dec720, 2)
-            detail["sec_per_video_720p_50steps_derived"] = round(
-                detail.get("t5_xxl_encode_s", 0.0) + 50 * step720 + dec720, 2
-            )
         except Exception as e:
             print(f"# 720p bench failed: {e}", file=sys.stderr)
+        _free()
+        try:
+            detail["t5_xxl_encode_s"] = round(bench_t5_encode(), 3)
+        except Exception as e:
+            print(f"# t5 bench failed: {e}", file=sys.stderr)
+        _free()
+        if "e2e_480p81f_50steps_s" in detail:
+            detail["sec_per_video_480p_e2e"] = round(
+                detail["e2e_480p81f_50steps_s"] + detail.get("t5_xxl_encode_s", 0.0), 2
+            )
+        if "dit_720p_step_s" in detail:
+            detail["sec_per_video_720p_50steps_derived"] = round(
+                detail.get("t5_xxl_encode_s", 0.0)
+                + 50 * detail["dit_720p_step_s"]
+                + detail.get("vae_decode_720p_s", 0.0), 2
+            )
 
     if not quick:
         try:

@@ -173,18 +173,16 @@ class Qwen3VLEngine:
         )[0]
         return text.strip()
 
-    def _init_jax_params(self):
-        import jax
-        import jax.numpy as jnp
-
-        from .full_model import Qwen3VLConfig, qwen3vl_hf_to_params
+    @staticmethod
+    def jax_cfg_from_hf(hf_cfg):
+        """Map an HF Qwen3VLConfig to this repo's Qwen3VLConfig."""
+        from .full_model import Qwen3VLConfig
         from .text_model import Qwen3TextConfig
         from .vision_model import Qwen3VLVisionConfig as JVis
 
-        hf_cfg = self.model.config
         tc, vc = hf_cfg.text_config, hf_cfg.vision_config
         rope_scaling = getattr(tc, "rope_scaling", None) or {}
-        self.jax_cfg = Qwen3VLConfig(
+        return Qwen3VLConfig(
             text=Qwen3TextConfig(
                 vocab_size=tc.vocab_size,
                 hidden_size=tc.hidden_size,
@@ -218,6 +216,13 @@ class Qwen3VLEngine:
             image_token_id=hf_cfg.image_token_id,
             vision_start_token_id=hf_cfg.vision_start_token_id,
         )
+
+    def _init_jax_params(self):
+        import jax
+
+        from .full_model import qwen3vl_hf_to_params
+
+        self.jax_cfg = self.jax_cfg_from_hf(self.model.config)
         sd = {k: v.float().numpy() for k, v in self.model.state_dict().items()}
         self.jax_params = qwen3vl_hf_to_params(sd, self.jax_cfg)
         if self.cfg.fsdp > 1:

@@ -46,44 +46,55 @@ def smart_resize(
     min_pixels: int = MIN_PIXELS,
     max_pixels: int = MAX_PIXELS,
 ) -> Tuple[int, int]:
-    """Pixel-budgeted, factor-aligned resize (qwen_vl_utils.py:53-81)."""
-    if max(height, width) / min(height, width) > MAX_RATIO:
-        raise ValueError(
-            f"absolute aspect ratio must be smaller than {MAX_RATIO}, got "
-            f"{max(height, width) / min(height, width)}"
-        )
-    h_bar = max(factor, round_by_factor(height, factor))
-    w_bar = max(factor, round_by_factor(width, factor))
-    if h_bar * w_bar > max_pixels:
-        beta = math.sqrt((height * width) / max_pixels)
-        h_bar = floor_by_factor(height / beta, factor)
-        w_bar = floor_by_factor(width / beta, factor)
-    elif h_bar * w_bar < min_pixels:
-        beta = math.sqrt(min_pixels / (height * width))
-        h_bar = ceil_by_factor(height * beta, factor)
-        w_bar = ceil_by_factor(width * beta, factor)
-    return h_bar, w_bar
+    """Target (h, w) for a pixel-budgeted, patch-aligned resize.
+
+    The arithmetic must be value-identical to the public `qwen-vl-utils`
+    package (the reference vendors it at omnivideo/utils/qwen_vl_utils.py:53)
+    because the VLM was trained on exactly these target sizes: snap both
+    sides to the patch factor, then — if the snapped area busts the budget —
+    rescale by the square root of the area ratio, flooring to the factor when
+    shrinking and ceiling when growing.
+    """
+    ratio = max(height, width) / min(height, width)
+    if ratio > MAX_RATIO:
+        raise ValueError(f"aspect ratio {ratio:.2f}:1 exceeds the {MAX_RATIO}:1 limit")
+    h = max(factor, round_by_factor(height, factor))
+    w = max(factor, round_by_factor(width, factor))
+    if h * w > max_pixels:
+        shrink = math.sqrt(height * width / max_pixels)
+        h = floor_by_factor(height / shrink, factor)
+        w = floor_by_factor(width / shrink, factor)
+    elif h * w < min_pixels:
+        grow = math.sqrt(min_pixels / (height * width))
+        h = ceil_by_factor(height * grow, factor)
+        w = ceil_by_factor(width * grow, factor)
+    return h, w
 
 
 def smart_nframes(ele: Dict, total_frames: int, video_fps: float) -> int:
-    """Frame-count selection for VLM video input (qwen_vl_utils.py:132-174)."""
-    assert not ("fps" in ele and "nframes" in ele), "Only accept `fps` or `nframes`"
+    """How many frames to sample for VLM video input.
+
+    Value-identical to `qwen-vl-utils` (reference qwen_vl_utils.py:132): an
+    explicit `nframes` wins (rounded to the temporal-patch factor); otherwise
+    the target fps is converted to a frame count and clamped to
+    [min_frames, max_frames], all factor-aligned.
+    """
+    if "fps" in ele and "nframes" in ele:
+        raise ValueError("give either `fps` or `nframes`, not both")
     if "nframes" in ele:
-        nframes = round_by_factor(ele["nframes"], FRAME_FACTOR)
+        n = round_by_factor(ele["nframes"], FRAME_FACTOR)
     else:
-        fps = ele.get("fps", FPS)
-        min_frames = ceil_by_factor(ele.get("min_frames", FPS_MIN_FRAMES), FRAME_FACTOR)
-        max_frames = floor_by_factor(
+        lo = ceil_by_factor(ele.get("min_frames", FPS_MIN_FRAMES), FRAME_FACTOR)
+        hi = floor_by_factor(
             ele.get("max_frames", min(FPS_MAX_FRAMES, total_frames)), FRAME_FACTOR
         )
-        nframes = total_frames / video_fps * fps
-        nframes = min(max(nframes, min_frames), max_frames)
-        nframes = round_by_factor(nframes, FRAME_FACTOR)
-    if not (FRAME_FACTOR <= nframes <= total_frames):
+        want = total_frames / video_fps * ele.get("fps", FPS)
+        n = round_by_factor(min(max(want, lo), hi), FRAME_FACTOR)
+    if not FRAME_FACTOR <= n <= total_frames:
         raise ValueError(
-            f"nframes should be in [{FRAME_FACTOR}, {total_frames}], got {nframes}"
+            f"sampled frame count {n} outside [{FRAME_FACTOR}, {total_frames}]"
         )
-    return int(nframes)
+    return int(n)
 
 
 def fetch_video(ele: Dict) -> Tuple[np.ndarray, float]:
