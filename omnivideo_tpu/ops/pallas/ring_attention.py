@@ -9,8 +9,11 @@ pipeline runs while the ICI transfer is in flight, and the semaphore waits
 land at the last grid cell. The step loop (`lax.fori_loop` under `shard_map`)
 double-buffers K/V through the loop carry.
 
-Forward-only (inference/serving path); training-side ring attention uses the
-differentiable ppermute form in `parallel/ring.py`. Runs on real TPUs
+Trainable: `ring_flash_attention_trainable` wraps the fused forward in a
+`jax.custom_vjp` whose backward runs a per-step Pallas flash-backward driven
+by the saved global row stats, accumulating dK/dV as they ride the ring home
+(block- and token-causal variants included). The simpler differentiable
+ppermute form also remains in `parallel/ring.py`. Runs on real TPUs
 (interpret=False) and under the Mosaic TPU interpreter on a virtual CPU mesh
 (interpret=True) — which is how the unit tests exercise the RDMA semantics
 without multi-chip hardware.
@@ -69,7 +72,12 @@ def _step_kernel(
 
     # Device addressing: LOGICAL index on a 1-axis mesh (also what the
     # Mosaic interpreter supports); full MESH coordinates with only the ring
-    # axis changed on multi-axis meshes (hybrid Ulysses×ring — hardware path)
+    # axis changed on multi-axis meshes (hybrid Ulysses×ring — hardware path).
+    # The interpreter's remote-DMA emulation only implements single-named-axis
+    # meshes (jax dma_start discharge all_gathers over ONE shard axis), so the
+    # multi-axis composition is CI-covered by a per-group host shim
+    # (tests/test_ring_pallas.py::test_hybrid_with_pallas_ring) and
+    # chip-checked by tools/dev/tpu_ring_check.py.
     if len(mesh_axes) == 1:
         id_type = pltpu.DeviceIdType.LOGICAL
         coords = lambda target: target

@@ -18,9 +18,10 @@ TPU-first:
 - the UniPC / DPM++ update is the precomputed-coefficient linear recurrence
   from schedulers/ — the whole hot loop is steps × (1 DiT forward + a few
   fused multiply-adds);
-- per-sample RNG is `jax.random.fold_in`-style deterministic — no NCCL
-  broadcast of seeds or contexts (reference x2x_gen_unified.py:374-380) is
-  needed: every host computes identical values by construction.
+- per-sample RNG is `jax.random.fold_in`-style deterministic — seeded runs
+  need no broadcast of seeds or contexts (reference x2x_gen_unified.py:
+  374-380): every host computes identical values by construction. Unseeded
+  (seed=-1) multi-process runs broadcast host 0's drawn seed once.
 """
 
 from __future__ import annotations
@@ -224,7 +225,17 @@ class OmniVideoX2XUnified:
 
         if n_prompt == "":
             n_prompt = prompts.SAMPLE_NEG_PROMPT_EN
-        seed = seed if seed >= 0 else int(np.random.randint(0, 2**31 - 1))
+        if seed < 0:
+            # keep the "every host computes identical values" invariant even
+            # for unseeded runs: host 0 draws the seed and broadcasts it
+            # (the TPU analog of the reference's dist.broadcast of seed_g,
+            # x2x_gen_unified.py:374-380); single-process runs skip the
+            # collective.
+            seed = int(np.random.randint(0, 2**31 - 1))
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                seed = int(multihost_utils.broadcast_one_to_all(np.int32(seed)))
         key = jax.random.PRNGKey(seed)
 
         # ---- conditioning --------------------------------------------------

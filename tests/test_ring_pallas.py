@@ -242,25 +242,61 @@ def test_ring_trainable_gradients_match_dense():
 def test_hybrid_with_pallas_ring():
     """2-D Ulysses×ring with the fused kernel inner == full attention.
 
-    Multi-axis meshes need MESH device ids, which the Mosaic interpreter
-    does not support — hardware-only (tools/dev runs it on the chip)."""
-    pytest.skip("MESH device ids unsupported by the Mosaic interpreter; "
-                "validated on hardware via tools/dev/tpu_ring_check.py")
+    jax's interpret-mode remote-DMA discharge only emulates meshes with ONE
+    named axis (dma_start all_gathers over a single shard axis), so
+    hybrid_attention(ring_impl="pallas") cannot run end-to-end under the
+    Mosaic interpreter. This shim runs the same composition in two real
+    stages instead: (1) the hybrid's Ulysses head-scatter all_to_all on the
+    true 2-D mesh, (2) the real fused ring kernel — identical block sizes to
+    hybrid_attention's inner call — in a 1-D interpret shard_map over the
+    ring axis on the scattered layout. Full (non-causal) attention is
+    KV-permutation-invariant and Q-equivariant, so the dense reference maps
+    into scattered space by the same all_to_all. The only part this cannot
+    cover is MESH device-id addressing, which tools/dev/tpu_ring_check.py
+    validates on the chip."""
+    from omnivideo_tpu.ops.pallas.ring_attention import (
+        ring_flash_attention_trainable,
+    )
     from omnivideo_tpu.parallel.mesh import create_mesh
-    from omnivideo_tpu.parallel.ring import hybrid_attention
+    from omnivideo_tpu.parallel.ulysses import _a2a_scatter_heads
 
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
-    mesh = create_mesh(1, 2, 2)
+    mesh = create_mesh(1, 2, 2)  # ulysses axis "fsdp"=2 × ring axis "seq"=2
     rng = np.random.default_rng(9)
     B, L, N, D = 1, 512, 4, 128
     q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
-    ref = attention_xla(q, k, v)
-    out = hybrid_attention(q, k, v, mesh, ulysses_axis="fsdp", ring_axis="seq",
-                           ring_impl="pallas")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    # stage 1: hybrid's head-scatter a2a on the 2-D mesh — tokens go from
+    # (fsdp, seq)-sharded to seq-sharded, heads to fsdp-sharded
+    scatter = shard_map(
+        lambda x: _a2a_scatter_heads(x, "fsdp"),
+        mesh=mesh,
+        in_specs=(P(None, ("fsdp", "seq"), None, None),),
+        out_specs=P(None, "seq", "fsdp", None),
+        check_vma=False,
+    )
+    # host round-trip between stages: stage 1's outputs live on the 4-device
+    # mesh, stage 2 runs on a 2-device ring mesh
+    q2, k2, v2 = (jnp.asarray(np.asarray(scatter(x))) for x in (q, k, v))
+
+    # stage 2: the real fused ring kernel over the ring axis, same block
+    # sizes hybrid_attention passes (256, 256)
+    ring_mesh = _mesh(2)
+    ring = shard_map(
+        functools.partial(
+            ring_flash_attention_trainable, axis_name="seq",
+            block_q=256, block_k=256, interpret=True, mesh_axes=("seq",),
+        ),
+        mesh=ring_mesh, in_specs=(P(None, "seq"),) * 3,
+        out_specs=P(None, "seq"), check_vma=False,
+    )
+    out = ring(q2, k2, v2)
+
+    ref = np.asarray(scatter(attention_xla(q, k, v)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
 
 
 def test_ring_trainable_causal_gradients():
