@@ -181,24 +181,28 @@ class SFTDataset:
 
 
 def sft_collate(samples, seq_len: int, pad_id: int = 0):
-    """Pad ids to seq_len; labels = ids with prompt and padding masked."""
+    """Pad ids to seq_len. Labels come either precomputed per sample (the
+    conversation-format path — per-turn masks from
+    training/conversation.py::preprocess_conversation) or derived from a
+    single `prompt_len` prefix; padding is always masked."""
     import numpy as np
 
     B = len(samples)
     ids = np.full((B, seq_len), pad_id, np.int32)
-    plens = np.zeros((B,), np.int32)
+    labels = np.full((B, seq_len), IGNORE_INDEX, np.int32)
     real_len = np.zeros((B,), np.int32)
     for i, s in enumerate(samples):
         a = np.asarray(s["ids"], np.int32).reshape(-1)[:seq_len]
         ids[i, : len(a)] = a
-        plens[i] = int(np.asarray(s["prompt_len"]).reshape(-1)[0])
         real_len[i] = len(a)
-    labels = np.where(
-        (np.arange(seq_len)[None] < plens[:, None])
-        | (np.arange(seq_len)[None] >= real_len[:, None]),
-        IGNORE_INDEX,
-        ids,
-    )
+        if "labels" in s:
+            lab = np.asarray(s["labels"], np.int32).reshape(-1)[:seq_len]
+            labels[i, : len(lab)] = lab
+        else:
+            plen = int(np.asarray(s["prompt_len"]).reshape(-1)[0])
+            lab = a.copy()
+            lab[:plen] = IGNORE_INDEX
+            labels[i, : len(a)] = lab
     batch = {
         "ids": jnp.asarray(ids),
         "labels": jnp.asarray(labels),
@@ -216,10 +220,27 @@ def sft_collate(samples, seq_len: int, pad_id: int = 0):
     return batch
 
 
-def sft_data_loader(ds: "SFTDataset", batch_size: int, seq_len: int,
-                    seed: int = 0, pad_id: int = 0):
-    """Infinite shuffled batch iterator."""
+def sft_data_loader(ds, batch_size: int, seq_len: int,
+                    seed: int = 0, pad_id: int = 0,
+                    group_by_length: bool = False,
+                    group_by_modality: bool = False,
+                    world_size: int = 1):
+    """Infinite batch iterator: plain shuffle, or length-grouped ordering
+    when the dataset exposes `lengths`/`modality_lengths` (role of
+    LengthGroupedSampler, llava_trainer.py:397-432)."""
     import numpy as np
+
+    if group_by_length or group_by_modality:
+        from .conversation import length_grouped_batches
+
+        lengths = ds.modality_lengths if group_by_modality else ds.lengths
+        batches = length_grouped_batches(
+            lengths, batch_size, world_size=world_size, seed=seed,
+            by_modality=group_by_modality,
+        )
+        for idx in batches:
+            yield sft_collate([ds[j] for j in idx], seq_len, pad_id)
+        return
 
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(ds))

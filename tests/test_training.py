@@ -436,3 +436,179 @@ def test_sft_step_sequence_parallel():
     np.testing.assert_allclose(
         float(m_sp["grad_norm"]), float(m_1d["grad_norm"]), rtol=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversation-format SFT data (training/conversation.py)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_chat_tokenizer():
+    """In-memory whitespace WordLevel tokenizer with ChatML specials — enough
+    to exercise chat templating + per-turn masking without any checkpoint."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import WhitespaceSplit
+    from transformers import PreTrainedTokenizerFast
+
+    words = ("system user assistant you are helpful describe the image "
+             "a cat on mat and also what color is it black thanks "
+             "<image> <video> q1 a1 q2 a2").split()
+    vocab = {"<unk>": 0, "<pad>": 1}
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    t = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    t.pre_tokenizer = WhitespaceSplit()
+    t.add_special_tokens(["<|im_start|>", "<|im_end|>"])
+    return PreTrainedTokenizerFast(
+        tokenizer_object=t, unk_token="<unk>", pad_token="<pad>",
+        additional_special_tokens=["<|im_start|>", "<|im_end|>"],
+    )
+
+
+def test_preprocess_conversation_multi_turn_masks():
+    """Only assistant responses (+ stop token) carry labels; system/user
+    turns and assistant headers are IGNORE_INDEX — reference
+    preprocess_conversation (llava/utils/tokenizer.py:116-153)."""
+    from omnivideo_tpu.training.conversation import (
+        IGNORE_INDEX,
+        preprocess_conversation,
+    )
+
+    tok = _tiny_chat_tokenizer()
+    conv = [
+        {"from": "system", "value": "you are helpful"},
+        {"from": "human", "value": "q1"},
+        {"from": "gpt", "value": "a1"},
+        {"from": "human", "value": "q2"},
+        {"from": "gpt", "value": "a2 thanks"},
+    ]
+    s = preprocess_conversation(conv, tok)
+    ids, labels = s["ids"], s["labels"]
+    assert ids.shape == labels.shape and ids.ndim == 1
+
+    dec = {i: w for w, i in tok.get_vocab().items()}
+    kept = [dec[int(t)] for t, l in zip(ids, labels) if l != IGNORE_INDEX]
+    # exactly the two responses, each followed by its <|im_end|> stop token
+    assert kept == ["a1", "<|im_end|>", "a2", "thanks", "<|im_end|>"]
+    # the masked side still contains the question tokens
+    masked = [dec[int(t)] for t, l in zip(ids, labels) if l == IGNORE_INDEX]
+    assert "q1" in masked and "q2" in masked and "system" in masked
+    # label positions agree with ids where unmasked
+    import numpy as np
+
+    live = labels != IGNORE_INDEX
+    assert (labels[live] == ids[live]).all()
+
+
+def test_preprocess_multimodal_placeholders():
+    from omnivideo_tpu.training.conversation import preprocess_multimodal
+
+    # media attached, no token anywhere -> prepended to the first turn
+    msgs = preprocess_multimodal(
+        [{"from": "human", "value": "describe"}, {"from": "gpt", "value": "a cat"}],
+        has_media=True,
+    )
+    assert msgs[0]["content"].startswith("<image>\n")
+    # token already present -> kept, single trailing newline enforced
+    msgs = preprocess_multimodal(
+        [{"from": "human", "value": "look <image>\n\n here"}], has_media=True)
+    assert "<image>\n\n" not in msgs[0]["content"]
+    assert "<image>\n" in msgs[0]["content"]
+    # no media -> untouched
+    msgs = preprocess_multimodal(
+        [{"from": "human", "value": "describe"}], has_media=False)
+    assert msgs[0]["content"] == "describe"
+
+
+def test_conversation_dataset_and_collate(tmp_path):
+    import json
+
+    import numpy as np
+
+    from omnivideo_tpu.training.conversation import ConversationDataset
+    from omnivideo_tpu.training.sft import IGNORE_INDEX, sft_collate
+
+    recs = [
+        {"conversations": [{"from": "human", "value": "q1"},
+                           {"from": "gpt", "value": "a1"}],
+         "image": "img.png"},
+        {"conversations": [{"from": "human", "value": "q2"},
+                           {"from": "gpt", "value": "a2 thanks"}]},
+    ]
+    f = tmp_path / "conv.jsonl"
+    f.write_text("\n".join(json.dumps(r) for r in recs))
+    ds = ConversationDataset(str(f), _tiny_chat_tokenizer(), media_token_len=7)
+
+    assert len(ds) == 2
+    # multimodal positive / text-only negative, media estimate added
+    ml = ds.modality_lengths
+    assert ml[0] > 0 and ml[1] < 0 and ml[0] == ds.lengths[0]
+
+    s0 = ds[0]
+    assert s0["image"] == "img.png"
+    assert (s0["labels"] != IGNORE_INDEX).sum() > 0
+
+    b = sft_collate([ds[0], ds[1]], seq_len=32)
+    assert b["ids"].shape == (2, 32)
+    lab = np.asarray(b["labels"])
+    n_live0 = int((np.asarray(ds[0]["labels"]) != IGNORE_INDEX).sum())
+    assert int((lab[0] != IGNORE_INDEX).sum()) == n_live0
+    # padding fully masked
+    t0 = len(ds[0]["ids"])
+    assert (lab[0, t0:] == IGNORE_INDEX).all()
+
+
+def test_length_grouped_indices():
+    import numpy as np
+
+    from omnivideo_tpu.training.conversation import (
+        get_length_grouped_indices,
+        get_modality_length_grouped_indices,
+        split_to_even_chunks,
+    )
+
+    lengths = [3, 30, 5, 50, 7, 70, 9, 90, 11, 110, 13, 130, 15, 150, 17, 170]
+    order = get_length_grouped_indices(lengths, batch_size=2, world_size=2,
+                                       rng=np.random.default_rng(0))
+    assert sorted(order) == list(range(16))  # a permutation
+    # each megabatch (bs*world=4) spans a narrower length range than random:
+    # its internal ordering is length-sorted into balanced world chunks
+    mbs = [order[i:i + 4] for i in range(0, 16, 4)]
+    spread = max(lengths) - min(lengths)
+    assert all(max(lengths[i] for i in m) - min(lengths[i] for i in m) < spread
+               for m in mbs)
+
+    # greedy balance expects desc-sorted input (how the megabatches arrive)
+    chunks = split_to_even_chunks(list(range(4)), [10, 8, 1, 1], 2)
+    assert sorted(sum(chunks, [])) == [0, 1, 2, 3]
+    loads = [sum([10, 8, 1, 1][i] for i in c) for c in chunks]
+    assert max(loads) - min(loads) <= 2  # greedy balance
+
+    # modality grouping: no mixed batches except the merged leftover
+    mlens = [10, -12, 14, -16, 18, -20, 22, -24]
+    order = get_modality_length_grouped_indices(
+        mlens, batch_size=2, world_size=1, rng=np.random.default_rng(1))
+    assert sorted(order) == list(range(8))
+    full_batches = [order[i:i + 2] for i in range(0, 6, 2)]
+    for b in full_batches[:-1]:
+        signs = {mlens[i] > 0 for i in b}
+        assert len(signs) == 1, f"mixed-modality batch {b}"
+
+
+def test_sft_loader_group_by_length(tmp_path):
+    import json
+
+    from omnivideo_tpu.training.conversation import ConversationDataset
+    from omnivideo_tpu.training.sft import sft_data_loader
+
+    recs = [{"conversations": [{"from": "human", "value": "q1 " * (i + 1)},
+                               {"from": "gpt", "value": "a1"}]}
+            for i in range(6)]
+    f = tmp_path / "conv.json"
+    f.write_text(json.dumps(recs))
+    ds = ConversationDataset(str(f), _tiny_chat_tokenizer())
+    loader = sft_data_loader(ds, batch_size=2, seq_len=32,
+                             group_by_length=True)
+    b = next(loader)
+    assert b["ids"].shape == (2, 32) and b["labels"].shape == (2, 32)

@@ -32,6 +32,17 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", default=None, help="HF Qwen3 checkpoint dir")
     p.add_argument("--data_dir", default=None, help="pickled SFT samples")
+    p.add_argument("--conversations", default=None,
+                   help="conversation-format JSON/JSONL SFT data "
+                        "(chat transcripts; per-turn loss masks)")
+    p.add_argument("--tokenizer_path", default=None,
+                   help="HF tokenizer dir for --conversations "
+                        "(defaults to --model_path)")
+    p.add_argument("--group_by_length", action="store_true",
+                   help="length-grouped batch ordering (less padding waste)")
+    p.add_argument("--group_by_modality_length", action="store_true",
+                   help="length-grouped, multimodal and text-only batches "
+                        "kept separate")
     p.add_argument("--output_dir", default="outputs/sft_vlm")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--seq_len", type=int, default=512)
@@ -205,7 +216,22 @@ def main():
         log.info("resumed from step %d", int(state.step))
 
     loader = None
-    if args.data_dir:
+    if args.conversations:
+        from transformers import AutoTokenizer
+
+        from omnivideo_tpu.training.conversation import ConversationDataset
+
+        tok_dir = args.tokenizer_path or args.model_path
+        assert tok_dir, "--conversations needs --tokenizer_path or --model_path"
+        tok = AutoTokenizer.from_pretrained(tok_dir)
+        ds = ConversationDataset(args.conversations, tok)
+        loader = sft_data_loader(
+            ds, args.batch_size, args.seq_len, seed=args.seed,
+            group_by_length=args.group_by_length,
+            group_by_modality=args.group_by_modality_length,
+            world_size=max(args.dp, 1),
+        )
+    elif args.data_dir:
         loader = sft_data_loader(SFTDataset(args.data_dir), args.batch_size,
                                  args.seq_len, seed=args.seed)
 
