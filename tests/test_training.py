@@ -612,3 +612,41 @@ def test_sft_loader_group_by_length(tmp_path):
                              group_by_length=True)
     b = next(loader)
     assert b["ids"].shape == (2, 32) and b["labels"].shape == (2, 32)
+
+
+def test_run_config_yaml_tier(tmp_path):
+    """YAML config tier: CLI-explicit > YAML > defaults, typo protection,
+    and run_config.yaml provenance (ref finetune_model.py:87-213)."""
+    import argparse
+
+    from omnivideo_tpu.utils.run_config import (
+        apply_yaml_config,
+        dump_run_config,
+    )
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None)
+    p.add_argument("--lr", type=float, default=3e-6)
+    p.add_argument("--total_steps", type=int, default=1000)
+    p.add_argument("--task", default="t2v-1.3B")
+
+    cfgf = tmp_path / "train.yaml"
+    cfgf.write_text("lr: 1.0e-4\ntotal_steps: 50\n")
+    argv = ["--config", str(cfgf), "--lr", "2e-5"]
+    args = p.parse_args(argv)
+    args = apply_yaml_config(args, p, argv)
+    assert args.lr == 2e-5          # explicitly typed flag beats YAML
+    assert args.total_steps == 50   # YAML beats default
+    assert args.task == "t2v-1.3B"  # untouched default survives
+
+    out = dump_run_config(args, tmp_path / "run")
+    import yaml
+
+    resolved = yaml.safe_load(out.read_text())
+    assert resolved["lr"] == 2e-5 and resolved["total_steps"] == 50
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("learning_rate: 1.0\n")  # not a flag name
+    args2 = p.parse_args(["--config", str(bad)])
+    with pytest.raises(SystemExit):
+        apply_yaml_config(args2, p, ["--config", str(bad)])

@@ -60,7 +60,10 @@ def parse_args():
     from omnivideo_tpu.parallel.distributed import add_distributed_args
 
     add_distributed_args(p)
-    return p.parse_args()
+    args = p.parse_args()
+    from omnivideo_tpu.utils.run_config import apply_yaml_config
+
+    return apply_yaml_config(args, p)
 
 
 def main():
@@ -101,14 +104,10 @@ def main():
         TimeoutGuard,
     )
 
-    cfg = WAN_CONFIGS[args.task]
-    if args.config:
-        import yaml
+    from omnivideo_tpu.utils.run_config import dump_run_config
 
-        overrides = yaml.safe_load(open(args.config))
-        for k, v in (overrides or {}).items():
-            if hasattr(args, k) and getattr(args, k) in (None, [], 0) or k in overrides:
-                setattr(args, k, v)
+    dump_run_config(args, args.output_dir)  # provenance: what this run ran with
+    cfg = WAN_CONFIGS[args.task]
     if args.tiny:
         cfg = cfg.replace(
             dit=cfg.dit.replace(dim=64, ffn_dim=128, num_heads=4, num_layers=2,

@@ -30,6 +30,8 @@ log = logging.getLogger("sft_vlm")
 
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None,
+                   help="YAML training config (CLI flags typed explicitly win)")
     p.add_argument("--model_path", default=None, help="HF Qwen3 checkpoint dir")
     p.add_argument("--data_dir", default=None, help="pickled SFT samples")
     p.add_argument("--conversations", default=None,
@@ -66,7 +68,10 @@ def parse_args():
     from omnivideo_tpu.parallel.distributed import add_distributed_args
 
     add_distributed_args(p)
-    return p.parse_args()
+    args = p.parse_args()
+    from omnivideo_tpu.utils.run_config import apply_yaml_config
+
+    return apply_yaml_config(args, p)
 
 
 def _tiny_cfg():
@@ -147,6 +152,9 @@ def main():
                                  args.process_id)
     import jax.numpy as jnp
 
+    from omnivideo_tpu.utils.run_config import dump_run_config
+
+    dump_run_config(args, args.output_dir)  # provenance: what this run ran with
     from omnivideo_tpu.training.sft import (
         SFTConfig,
         SFTDataset,
