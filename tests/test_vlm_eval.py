@@ -166,3 +166,98 @@ def test_eval_vlm_end_to_end(tiny_ckpt_dir, vqa_fixture):
     assert all(isinstance(r["prediction"], str) for r in results)
     preds = [r["prediction"] for r in results]
     assert len(set(preds)) >= 1  # decode ran (values are model-dependent)
+
+
+# ---------------------------------------------------------------------------
+# benchmark format adapters + scoring modes (omnivideo_tpu/eval/vqa.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mc_scoring_letter_extraction():
+    from omnivideo_tpu.eval import vqa
+
+    assert vqa.score_mc("B", "b")
+    assert vqa.score_mc("(C)", "C")
+    assert vqa.score_mc("The answer is D.", "D")
+    assert vqa.score_mc("Answer: A", "A")
+    assert not vqa.score_mc("Absolutely", "A")  # no standalone letter
+    assert not vqa.score_mc("B", "C")
+
+
+def test_vqa_soft_consensus():
+    from omnivideo_tpu.eval import vqa
+
+    answers = ["red", "red", "red", "dark red", "crimson"]
+    assert vqa.score_vqa_soft("Red", answers) == 1.0           # 3+/3
+    assert abs(vqa.score_vqa_soft("dark red", answers) - 1 / 3) < 1e-9
+    assert vqa.score_vqa_soft("blue", answers) == 0.0
+
+
+def test_videomme_adapter_and_prompt():
+    from omnivideo_tpu.eval import vqa
+
+    r = {"question_id": "q1", "question": "What happens first?",
+         "videoID": "clip.npz",
+         "options": ["A. run", "B. jump", "C. sit", "D. sleep"],
+         "answer": "B", "duration": "short"}
+    row = vqa.adapt_videomme(r)
+    assert row["mode"] == "mc" and row["video"] == "clip.npz"
+    assert row["category"] == "short"
+    p = vqa.build_prompt(row)
+    assert "B. jump" in p and p.startswith("What happens first?")
+    assert "option's letter" in p
+    assert vqa.score_row(row, "I think B. jump") == 1.0
+
+
+def test_mmmu_scienceqa_adapters():
+    from omnivideo_tpu.eval import vqa
+
+    m = vqa.adapt_mmmu({"id": "m1", "question": "Which organ?",
+                        "options": ["heart", "liver"], "answer": "A",
+                        "subfield": "anatomy"})
+    assert m["options"] == ["A. heart", "B. liver"]
+    s = vqa.adapt_scienceqa({"id": "s1", "question": "Pick one",
+                             "choices": ["x", "y", "z"], "answer": 2})
+    assert s["answer"] == "C" and s["options"][2] == "C. z"
+
+
+def test_pope_metrics():
+    from omnivideo_tpu.eval import vqa
+
+    results = [
+        {"prediction": "yes", "answer": "yes"},   # tp
+        {"prediction": "yes", "answer": "no"},    # fp
+        {"prediction": "no", "answer": "no"},     # tn
+        {"prediction": "no", "answer": "yes"},    # fn
+    ]
+    m = vqa.pope_metrics(results)
+    assert m["precision"] == 0.5 and m["recall"] == 0.5
+    assert m["f1"] == 0.5 and m["yes_ratio"] == 0.5
+
+
+def test_mme_scores_acc_plus():
+    from omnivideo_tpu.eval import vqa
+
+    # one image with both right (acc+ hit), one with one wrong
+    results = [
+        {"image": "a.png", "category": "color", "score": 1.0},
+        {"image": "a.png", "category": "color", "score": 1.0},
+        {"image": "b.png", "category": "color", "score": 1.0},
+        {"image": "b.png", "category": "color", "score": 0.0},
+    ]
+    s = vqa.mme_scores(results)
+    # acc = 3/4, acc+ = 1/2 → 100·(0.75+0.5) = 125
+    assert s["color"] == 125.0 and s["total"] == 125.0
+
+
+def test_evaluate_fmt_aggregates():
+    from omnivideo_tpu.eval import vqa
+
+    rows = vqa.adapt_rows(
+        [{"question_id": 1, "text": "Is there a cat?", "label": "yes",
+          "image": None},
+         {"question_id": 2, "text": "Is there a dog?", "label": "no",
+          "image": None}], "pope")
+    results, summary = vqa.evaluate(rows, lambda r: "yes", fmt="pope")
+    assert summary["accuracy"] == 0.5 and "pope" in summary
+    assert summary["pope"]["yes_ratio"] == 1.0

@@ -1,79 +1,42 @@
 #!/usr/bin/env python
-"""VQA-style MLLM evaluation over the JAX Qwen3-VL decode path.
+"""MLLM benchmark evaluation over the JAX Qwen3-VL decode path.
 
 Role of the reference's llava/eval benchmark drivers
-(previous_version/.../llava/eval/model_vqa_videomme.py, eval_mmmu.py, ...):
-one generic accuracy harness over MME/POPE-shaped JSONL:
-
-    {"question_id": ..., "text": "Is there a dog? Answer yes or no.",
-     "image": "img.png" | "video": "clip.npz" | null,
-     "answer": "yes", "category": "existence"}
-
-Preprocessing is native (models/qwen3vl/preprocess.py — no HF processor);
-decoding is qwen3vl_greedy_decode (static-KV-cache lax.scan). Scoring is
-normalized exact / prefix match, aggregated overall and per category.
+(previous_version/.../llava/eval/model_vqa_videomme.py, eval_mmmu.py,
+eval_pope.py, eval_science_qa.py, eval_textvqa.py, ...): one engine over
+the benchmark adapters in omnivideo_tpu/eval/vqa.py.
 
     python tools/eval_vlm.py --model_path <hf-qwen3vl-dir> \
-        --questions pope.jsonl --report out.json
+        --questions pope.jsonl --format pope --report out.json
+
+--format selects the native record shape + scoring + aggregates:
+  generic    MME/POPE-shaped JSONL (open answers; MC if "options" present)
+  pope       label yes/no; adds precision/recall/F1/yes-ratio
+  mme        paired yes/no per image; adds per-category MME scores
+  videomme   multiple-choice over videos (options list, letter answer)
+  mmmu / scienceqa   multiple-choice over images
+  textvqa    open answers scored by VQAv2 consensus min(matches/3, 1)
+
+Preprocessing is native (models/qwen3vl/preprocess.py — no HF processor);
+decoding is qwen3vl_greedy_decode (static-KV-cache lax.scan).
 """
 
 import argparse
 import json
-import re
-import string
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-
-def normalize_answer(text: str) -> str:
-    """Lowercase, strip punctuation/articles/whitespace."""
-    text = text.strip().lower()
-    text = text.translate(str.maketrans("", "", string.punctuation))
-    text = re.sub(r"\b(a|an|the)\b", " ", text)
-    return re.sub(r"\s+", " ", text).strip()
-
-
-def score_answer(prediction: str, truth: str) -> bool:
-    """MME/POPE-style match: normalized equality, or the truth appearing as
-    the leading word(s) of the prediction ('yes, it is' matches 'yes')."""
-    p, t = normalize_answer(prediction), normalize_answer(truth)
-    if not t:
-        return not p
-    return p == t or p.startswith(t + " ") or p.split(" ")[0] == t
-
-
-def aggregate(results):
-    """results: [{question_id, prediction, answer, category?, correct}] →
-    {accuracy, n, per_category}."""
-    n = len(results)
-    acc = sum(r["correct"] for r in results) / n if n else 0.0
-    per_cat = {}
-    for r in results:
-        c = r.get("category") or "all"
-        per_cat.setdefault(c, []).append(r["correct"])
-    return {
-        "accuracy": round(acc, 4),
-        "n": n,
-        "per_category": {c: round(sum(v) / len(v), 4) for c, v in sorted(per_cat.items())},
-    }
-
-
-def evaluate(rows, answer_fn):
-    """Run answer_fn(row) over rows, score, and aggregate."""
-    results = []
-    for row in rows:
-        pred = answer_fn(row)
-        truth = row.get("answer", row.get("label", ""))
-        results.append({
-            "question_id": row.get("question_id", len(results)),
-            "prediction": pred,
-            "answer": truth,
-            "category": row.get("category"),
-            "correct": score_answer(pred, str(truth)),
-        })
-    return results, aggregate(results)
+from omnivideo_tpu.eval.vqa import (  # noqa: E402
+    ADAPTERS,
+    adapt_rows,
+    aggregate,
+    build_prompt,
+    evaluate,
+    normalize_answer,
+    score_open as score_answer,  # back-compat name
+)
 
 
 def make_jax_answer_fn(model_path: str, max_new_tokens: int = 8,
@@ -90,7 +53,11 @@ def make_jax_answer_fn(model_path: str, max_new_tokens: int = 8,
         qwen3vl_greedy_decode,
         qwen3vl_hf_to_params,
     )
-    from omnivideo_tpu.models.qwen3vl.preprocess import build_vqa_ids, preprocess_image, preprocess_video
+    from omnivideo_tpu.models.qwen3vl.preprocess import (
+        build_vqa_ids,
+        preprocess_image,
+        preprocess_video,
+    )
 
     tokenizer = AutoTokenizer.from_pretrained(model_path)
     hf_cfg = AutoConfig.from_pretrained(model_path)
@@ -101,7 +68,7 @@ def make_jax_answer_fn(model_path: str, max_new_tokens: int = 8,
     eos = tokenizer.eos_token_id
 
     def answer(row):
-        q = row.get("text", row.get("question", ""))
+        q = build_prompt(row)
         patches = grid = None
         is_video = False
         if row.get("image"):
@@ -135,7 +102,9 @@ def make_jax_answer_fn(model_path: str, max_new_tokens: int = 8,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", required=True, help="HF Qwen3-VL checkpoint dir")
-    ap.add_argument("--questions", required=True, help="MME/POPE-style JSONL")
+    ap.add_argument("--questions", required=True, help="benchmark JSONL")
+    ap.add_argument("--format", default="generic", choices=sorted(ADAPTERS),
+                    help="benchmark record shape / scoring / aggregates")
     ap.add_argument("--report", default=None, help="write results+summary JSON here")
     ap.add_argument("--max_new_tokens", type=int, default=8)
     ap.add_argument("--limit", type=int, default=None)
@@ -150,6 +119,7 @@ def main():
     rows = [json.loads(l) for l in open(args.questions) if l.strip()]
     if args.limit:
         rows = rows[: args.limit]
+    rows = adapt_rows(rows, args.format)
     # media paths are relative to the questions file
     base = Path(args.questions).parent
     for r in rows:
@@ -157,8 +127,11 @@ def main():
             if r.get(k) and not Path(r[k]).is_absolute():
                 r[k] = str(base / r[k])
 
-    answer_fn = make_jax_answer_fn(args.model_path, args.max_new_tokens)
-    results, summary = evaluate(rows, answer_fn)
+    # MC answers need room for "The answer is B." phrasings
+    mnt = max(args.max_new_tokens, 12) if any(
+        r.get("mode") == "mc" for r in rows) else args.max_new_tokens
+    answer_fn = make_jax_answer_fn(args.model_path, mnt)
+    results, summary = evaluate(rows, answer_fn, fmt=args.format)
 
     print(json.dumps(summary))
     if args.report:
