@@ -40,16 +40,62 @@ def _leaf_spec(path_names, leaf, fsdp_size: int) -> P:
     return P()
 
 
+# Megatron-style TP split of the transformer block, expressed as sharding
+# rules only (no model changes — GSPMD inserts the collectives; SURVEY §2.3
+# row TP names this the optional TPU free win the reference lacks):
+#   column-parallel (output features on 'tensor'): q/k/v, ffn fc1
+#   row-parallel (input features on 'tensor'):     o,     ffn fc2
+_TP_COL = ("/q/kernel", "/k/kernel", "/v/kernel", "/k_img/kernel",
+           "/v_img/kernel", "/fc1/kernel")
+_TP_ROW = ("/o/kernel", "/fc2/kernel")
+_TP_COL_BIAS = ("/q/bias", "/k/bias", "/v/bias", "/k_img/bias",
+                "/v_img/bias", "/fc1/bias")
+
+
+def _tp_leaf_spec(path_names, leaf, fsdp_size: int, tp_size: int):
+    """TP spec for a block leaf, or None to fall back to the fsdp rule.
+
+    Kernels are [layers?, in, out]; the complementary matmul dim takes the
+    'fsdp' axis when divisible, so fsdp×tensor compose on one weight.
+    """
+    if tp_size == 1 or "blocks" not in path_names:
+        return None
+    shape = leaf.shape
+
+    def spec(tp_dim, fsdp_dim):
+        if shape[tp_dim] % tp_size:
+            return None
+        s = [None] * leaf.ndim
+        s[tp_dim] = "tensor"
+        if fsdp_dim is not None and fsdp_size > 1 and shape[fsdp_dim] % fsdp_size == 0:
+            s[fsdp_dim] = "fsdp"
+        return P(*s)
+
+    if leaf.ndim >= 2 and any(path_names.endswith(k) for k in _TP_COL):
+        return spec(-1, -2 if leaf.ndim >= 3 else None)
+    if leaf.ndim >= 2 and any(path_names.endswith(k) for k in _TP_ROW):
+        return spec(-2, -1 if leaf.ndim >= 3 else None)
+    if any(path_names.endswith(k) for k in _TP_COL_BIAS):
+        return spec(-1, None)
+    return None
+
+
 def params_shardings(params: Any, mesh: Mesh):
-    """NamedSharding pytree for a param pytree (FSDP over the 'fsdp' axis)."""
+    """NamedSharding pytree for a param pytree: FSDP over the 'fsdp' axis,
+    plus Megatron-style head/FFN tensor parallelism over 'tensor' when the
+    mesh carries a tensor axis > 1."""
     fsdp = mesh.shape["fsdp"]
+    tp = mesh.shape.get("tensor", 1)
 
     def f(path, leaf):
         names = "/".join(
             str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p))
             for p in path
         )
-        return NamedSharding(mesh, _leaf_spec(names, leaf, fsdp))
+        spec = _tp_leaf_spec(names, leaf, fsdp, tp)
+        if spec is None:
+            spec = _leaf_spec(names, leaf, fsdp)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(f, params)
 

@@ -245,3 +245,63 @@ def test_pipeline_generate_fsdp_plus_sp():
     with mesh:
         out = pipe_sp.generate(**kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+
+def test_tp_param_sharding_rules():
+    """Megatron-style TP specs: qkv/fc1 column-parallel, o/fc2 row-parallel,
+    fsdp composing on the complementary matmul dim."""
+    mesh = create_mesh(dp=1, fsdp=2, sp=1, tp=2)
+    params = {
+        "blocks": {
+            "self_attn": {
+                "q": {"kernel": jnp.zeros((2, 64, 64)), "bias": jnp.zeros((2, 64))},
+                "o": {"kernel": jnp.zeros((2, 64, 64)), "bias": jnp.zeros((2, 64))},
+            },
+            "ffn": {
+                "fc1": {"kernel": jnp.zeros((2, 64, 128))},
+                "fc2": {"kernel": jnp.zeros((2, 128, 64))},
+            },
+        },
+        "embed": {"kernel": jnp.zeros((1000, 256))},
+    }
+    sh = params_shardings(params, mesh)
+    sa = sh["blocks"]["self_attn"]
+    assert sa["q"]["kernel"].spec == jax.sharding.PartitionSpec(None, "fsdp", "tensor")
+    assert sa["q"]["bias"].spec == jax.sharding.PartitionSpec(None, "tensor")
+    assert sa["o"]["kernel"].spec == jax.sharding.PartitionSpec(None, "tensor", "fsdp")
+    assert sa["o"]["bias"].spec == jax.sharding.PartitionSpec()
+    assert sh["blocks"]["ffn"]["fc1"]["kernel"].spec == jax.sharding.PartitionSpec(None, "fsdp", "tensor")
+    assert sh["blocks"]["ffn"]["fc2"]["kernel"].spec == jax.sharding.PartitionSpec(None, "tensor", "fsdp")
+    # non-block leaves keep the plain fsdp rule
+    assert "tensor" not in str(sh["embed"]["kernel"].spec)
+
+
+def test_tp_dit_forward_matches_single_device():
+    """Tensor-parallel DiT forward (params sharded on 'tensor', XLA-attention
+    einsums partitioned by GSPMD) equals the single-device forward. The
+    reference has no TP (SURVEY §2.3); this is the TPU-native free win."""
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.configs.base import WanDiTConfig
+    from omnivideo_tpu.models.wan_dit import init_wan_dit, wan_dit_apply
+    from omnivideo_tpu.parallel.sharding import shard_params
+
+    cfg = WanDiTConfig(
+        patch_size=(1, 2, 2), text_len=16, in_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=48, out_dim=4, num_heads=4, num_layers=2,
+    )
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["head"]["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["kernel"].shape
+    ) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 8, 8))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 48))
+    ref = wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla")
+
+    mesh = create_mesh(dp=1, fsdp=2, sp=1, tp=2)  # heads 4 / tp 2
+    sharded = shard_params(params, mesh)
+    fwd = jax.jit(lambda p, x, t, c: wan_dit_apply(p, cfg, x, t, c, attn_impl="xla"))
+    with mesh:
+        out = fwd(sharded, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)

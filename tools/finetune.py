@@ -49,6 +49,9 @@ def parse_args():
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor parallelism over attention heads / FFN hidden "
+                        "(GSPMD param shardings; forces the XLA attention path)")
     p.add_argument("--ckpt_dir", default=None, help="init weights from checkpoint")
     p.add_argument("--walltime", type=float, default=None,
                    help="seconds; stop+checkpoint before this walltime")
@@ -153,7 +156,8 @@ def main():
             tasks[name] = (OmniVideoDataset(path), float(weights.get(name, 1.0)))
     assert tasks, "no datasets configured"
 
-    mesh = create_mesh(args.dp, args.fsdp, args.sp) if (args.dp * args.fsdp * args.sp) > 1 else None
+    n_mesh = args.dp * args.fsdp * args.sp * args.tp
+    mesh = create_mesh(args.dp, args.fsdp, args.sp, args.tp) if n_mesh > 1 else None
 
     # ---- params --------------------------------------------------------------
     key = jax.random.PRNGKey(args.seed)
@@ -177,7 +181,10 @@ def main():
 
     tx = make_optimizer(tc, params)
     state = init_train_state(params, tx)
-    train_step = jax.jit(make_unified_train_step(cfg, tc, tx, mesh=mesh, attn_impl="xla" if args.platform == "cpu" else "auto"))
+    # tp>1 partitions the XLA-attention einsums via GSPMD; the Pallas kernel
+    # is opaque to the partitioner, so TP forces the XLA path
+    attn_impl = "xla" if (args.platform == "cpu" or args.tp > 1) else "auto"
+    train_step = jax.jit(make_unified_train_step(cfg, tc, tx, mesh=mesh, attn_impl=attn_impl))
 
     ckpt = CheckpointManager(str(Path(args.output_dir) / "checkpoints"))
     if args.resume and ckpt.latest_step() is not None:

@@ -60,6 +60,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor parallelism over heads/FFN (GSPMD shardings)")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel degree (ring token-causal attention)")
     p.add_argument("--dummy_data", action="store_true")
@@ -193,14 +195,15 @@ def main():
         }
 
     mesh = None
-    if args.dp * args.fsdp * args.sp > 1:
+    if args.dp * args.fsdp * args.sp * getattr(args, "tp", 1) > 1:
         from omnivideo_tpu.parallel.mesh import create_mesh
         from omnivideo_tpu.parallel.sharding import params_shardings
 
-        mesh = create_mesh(args.dp, args.fsdp, args.sp)
+        mesh = create_mesh(args.dp, args.fsdp, args.sp, args.tp)
         sh = params_shardings(params, mesh)
         params = jax.tree_util.tree_map(jax.device_put, params, sh)
-        log.info("mesh dp=%d fsdp=%d sp=%d", args.dp, args.fsdp, args.sp)
+        log.info("mesh dp=%d fsdp=%d sp=%d tp=%d", args.dp, args.fsdp,
+                 args.sp, args.tp)
 
     tc = SFTConfig(
         learning_rate=args.lr, max_grad_norm=args.grad_clip,
