@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # forward logits live in the log2 domain (exp2)
 
 
 def _fa_kernel(
@@ -48,12 +49,13 @@ def _fa_kernel(
     kv_steps: int,
     with_lse: bool,
     zero_oob_v: bool = False,
+    grid4: bool = False,  # packed path: grid (B, N, q, kv); kv_lens is [B]
 ):
     if with_lse:
         lse_ref, m_scr, l_scr, acc_scr = refs
     else:
         m_scr, l_scr, acc_scr = refs
-    kv_i = pl.program_id(2)
+    kv_i = pl.program_id(3 if grid4 else 2)
     kv_len = kv_len_ref[pl.program_id(0)]
 
     @pl.when(kv_i == 0)
@@ -74,9 +76,12 @@ def _fa_kernel(
             # 0·garbage can't poison p@v.
             row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + block_start
             v = jnp.where(row < kv_len, v, jnp.zeros_like(v))
-        # fold the softmax scale into q once per [BQ, D] tile — cheaper than
-        # scaling the [BQ, BK] logits every kv step
-        q = (q_ref[0].astype(jnp.float32) * scale).astype(k.dtype)
+        # fold the softmax scale AND log2(e) into q once per [BQ, D] tile —
+        # logits then live in the log2 domain so the softmax runs on exp2,
+        # which lowers ~3% faster than exp on the VPU (measured: self-attn
+        # 78.2% → 80.8% MXU at seq 32,760); cheaper than scaling the
+        # [BQ, BK] logits every kv step
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(k.dtype)
         s = jax.lax.dot_general(
             q,
             k,
@@ -91,8 +96,8 @@ def _fa_kernel(
         m_prev = m_scr[:, :1]  # [BQ, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
-        p = jnp.exp(s - m_new)  # [BQ, BK]
+        alpha = jnp.exp2(m_prev - m_new)  # [BQ, 1]
+        p = jnp.exp2(s - m_new)  # [BQ, BK]  (log2-domain logits)
 
         l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
@@ -117,7 +122,11 @@ def _fa_kernel(
         denom = jnp.where(denom == 0.0, 1.0, denom)  # fully-masked rows → 0
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
         if with_lse:
-            lse_ref[0] = (m_scr[:, :] + jnp.log(jnp.maximum(l_scr[:, :], 1e-30)))
+            # m is in log2 units (see the q scaling above); l is domain-free
+            # (sum of the same probabilities), so the natural-log LSE the
+            # backward kernels expect is m·ln2 + ln(l)
+            lse_ref[0] = (m_scr[:, :] * (1.0 / LOG2E)
+                          + jnp.log(jnp.maximum(l_scr[:, :], 1e-30)))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -142,24 +151,37 @@ def _pick_block_k(Lk: int, block_k: int) -> int:
 
 
 def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret):
-    """Inference forward without HBM padding round-trips.
+    """Inference forward with NO layout work at all.
 
-    One transpose to head-major [B·N, L, D] (the [B, L, N, D] layout cannot
-    be tiled per-head: Mosaic requires the second-minor block dim to divide
-    by 8 or equal the array dim), then partial boundary blocks instead of
-    explicit jnp.pad: out-of-range K columns die in the kv_len mask,
-    out-of-range V rows are zeroed in-kernel, out-of-range Q rows write
-    nothing. Kills the pad/slice copy fusions around every attention call
-    (~2 of the 4.6 s/step trace's copy ops per layer).
+    The [B, L, N, D] inputs are viewed as packed [B, L, N·D] (a free,
+    contiguity-preserving reshape — exactly the layout the q/k/v projection
+    GEMMs produce) and the kernel tiles the head axis as 128-wide blocks of
+    the minor dim: q blocks (1, bq, D) at block-index (b, qi, n) over a
+    (B, N, q_steps, kv_steps) grid. No transpose, no jnp.pad: the direct
+    per-head tiling of [B, L, N, D] is impossible (Mosaic requires the
+    second-minor block dim to divide by 8 or equal the array dim) but the
+    packed view sidesteps it — the head axis becomes part of the minor dim.
+    Kills all pad/transpose copy fusions around every attention call
+    (~0.18 s of the 4.4 s 1.3B DiT step).
+
+    Partial boundary blocks replace padding: out-of-range K columns die in
+    the kv_len mask, out-of-range V rows are zeroed in-kernel, out-of-range
+    Q rows write nothing.
 
     Single-kv-step mode: when the whole 128-rounded KV length fits one block
     (cross-attention: 6,272-token context), bk spans it and the online-
     softmax carry collapses to one pass — no per-step alpha rescale or m/l
     broadcast updates, and K/V stay VMEM-resident across the q-block loop.
+
+    Heads narrower than a 128-lane tile (D % 128 != 0) can't be a legal
+    minor-dim block of the packed view, so they take the head-major
+    [B·N, L, D] transpose path instead (one transpose each way; the hot DiT
+    path is D=128 and never does).
     """
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
     Lk_r = _round_up(Lk, 128)
+    packed = D % 128 == 0
 
     if Lk_r > block_k and Lk_r <= 8192:
         # single step: size bq so the f32 logits tile stays within ~8 MB VMEM
@@ -170,49 +192,61 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret):
         bq = min(block_q, _round_up(Lq, 128))
     kv_steps = -(-Lk_r // bk)
     q_steps = -(-Lq // bq)
-    grid = (B * N, q_steps, kv_steps)
 
-    qt = q.transpose(0, 2, 1, 3).reshape(B * N, Lq, D)
-    kt = k.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
-    vt = v.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
-    kv_lens_bn = jnp.repeat(kv_lens, N)  # [B*N]
+    if packed:
+        grid = (B, N, q_steps, kv_steps)
+        q3 = q.reshape(B, Lq, N * D)  # free: N, D adjacent and contiguous
+        k3 = k.reshape(B, Lk, N * D)
+        v3 = v.reshape(B, Lk, N * D)
+        lens = kv_lens
+        q_spec = pl.BlockSpec((1, bq, D), lambda b, n, qi, ki, *_: (b, qi, n),
+                              memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec((1, bk, D), lambda b, n, qi, ki, *_: (b, ki, n),
+                               memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, Lq, N * D), q.dtype)
+    else:
+        grid = (B * N, q_steps, kv_steps)
+        q3 = q.transpose(0, 2, 1, 3).reshape(B * N, Lq, D)
+        k3 = k.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
+        v3 = v.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
+        lens = jnp.repeat(kv_lens, N)  # [B*N]
+        q_spec = pl.BlockSpec((1, bq, D), lambda b, qi, ki, *_: (b, qi, 0),
+                              memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec((1, bk, D), lambda b, qi, ki, *_: (b, ki, 0),
+                               memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B * N, Lq, D), q.dtype)
 
     kernel = functools.partial(
         _fa_kernel, scale=float(scale), block_k=bk, kv_steps=kv_steps,
-        with_lse=False, zero_oob_v=True,
+        with_lse=False, zero_oob_v=True, grid4=packed,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bq, D), lambda b, qi, ki, *_: (b, qi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bk, D), lambda b, qi, ki, *_: (b, ki, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bk, D), lambda b, qi, ki, *_: (b, ki, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, bq, D), lambda b, qi, ki, *_: (b, qi, 0),
-                                   memory_space=pltpu.VMEM),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
             scratch_shapes=[
                 pltpu.VMEM((bq, 128), jnp.float32),
                 pltpu.VMEM((bq, 128), jnp.float32),
                 pltpu.VMEM((bq, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B * N, Lq, D), q.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * N * Lq * Lk_r * D,
             bytes_accessed=B * N * (2 * Lq + 2 * Lk) * D * 2,
             transcendentals=B * N * Lq * Lk_r,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(("parallel",) * (len(grid) - 1)
+                                 + ("arbitrary",)),
         ),
         interpret=interpret,
-    )(kv_lens_bn, qt, kt, vt)
+    )(lens, q3, k3, v3)
+    if packed:
+        return out.reshape(B, Lq, N, D)
     return out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
 
 
