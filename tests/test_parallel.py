@@ -305,3 +305,38 @@ def test_tp_dit_forward_matches_single_device():
     with mesh:
         out = fwd(sharded, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_generate_tp():
+    """Tensor-parallel generate (fsdp 2 x tp 2 mesh, params TP-sharded, XLA
+    attention partitioned by GSPMD) equals single-device — the inference face
+    of the TP axis (tools/generate.py --tp_size)."""
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.configs.base import PipelineConfig, VAEConfig, WanDiTConfig
+    from omnivideo_tpu.parallel.sharding import shard_params
+    from omnivideo_tpu.pipelines.x2x import OmniVideoX2XUnified
+
+    cfg = PipelineConfig(
+        name="tiny-tp",
+        dit=WanDiTConfig(patch_size=(1, 2, 2), in_dim=8, out_dim=8, dim=64,
+                         ffn_dim=128, freq_dim=32, text_dim=48, num_heads=4,
+                         num_layers=2),
+        vae=VAEConfig(dim=8, z_dim=8),
+        max_context_len=32, dual_expert=False, vlm_in_dim=16,
+        param_dtype="float32",
+    )
+    ctx = jnp.ones((5, 48), jnp.float32) * 0.1
+    kw = dict(precomputed_context=ctx, precomputed_context_null=jnp.zeros_like(ctx),
+              size=(64, 32), frame_num=9, sampling_steps=2, guide_scale=3.0,
+              seed=11, decode=False)
+    pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl="xla", with_vae=False)
+    ref = pipe.generate(**kw)
+
+    mesh = create_mesh(dp=1, fsdp=2, sp=1, tp=2)
+    low = pipe.low_noise
+    low.wan = shard_params(low.wan, mesh)
+    pipe_tp = OmniVideoX2XUnified(cfg, low, attn_impl="xla")
+    with mesh:
+        out = pipe_tp.generate(**kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)

@@ -47,6 +47,10 @@ def parse_args():
     p.add_argument("--sp_mode", default="ulysses", choices=["ulysses", "ring", "hybrid"])
     p.add_argument("--ring_impl", default="ppermute", choices=["ppermute", "pallas"],
                    help="ring K/V rotation: XLA collective-permute or the fused RDMA Pallas kernel")
+    p.add_argument("--tp_size", type=int, default=1,
+                   help="tensor parallelism over heads/FFN (GSPMD; forces "
+                        "attn_impl=xla — the Pallas kernel is opaque to the "
+                        "partitioner)")
     p.add_argument("--fsdp_size", type=int, default=1,
                    help="parameter-shard degree (devices along 'fsdp')")
     p.add_argument("--fps", type=int, default=None)
@@ -122,13 +126,17 @@ def main():
 
     sp = None
     mesh = None
-    if args.sp_size > 1 or args.fsdp_size > 1:
+    if args.sp_size > 1 or args.fsdp_size > 1 or args.tp_size > 1:
         from omnivideo_tpu.models.wan_dit import SPConfig
         from omnivideo_tpu.parallel.mesh import create_mesh
 
-        mesh = create_mesh(dp=1, fsdp=args.fsdp_size, sp=args.sp_size)
+        mesh = create_mesh(dp=1, fsdp=args.fsdp_size, sp=args.sp_size,
+                           tp=args.tp_size)
         if args.sp_size > 1:
             sp = SPConfig(mesh=mesh, mode=args.sp_mode, ring_impl=args.ring_impl)
+        if args.tp_size > 1 and args.attn_impl != "xla":
+            logging.info("tp_size>1: forcing attn_impl=xla (GSPMD-partitionable)")
+            args.attn_impl = "xla"
 
     if args.random_weights:
         pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl=args.attn_impl)
