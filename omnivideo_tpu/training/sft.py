@@ -251,3 +251,54 @@ def sft_data_loader(ds, batch_size: int, seq_len: int,
             i = 0
         yield sft_collate([ds[j] for j in order[i:i + batch_size]], seq_len, pad_id)
         i += batch_size
+
+
+class MixtureDataset:
+    """Weighted blend of SFT data sources.
+
+    Role of the reference's data-mixture registry
+    (llava/data/datasets_mixture.py: named sources combined per recipe, each
+    repeated by its sampling ratio before the epoch shuffle): weight w > 1
+    repeats a source ~w times per epoch; w < 1 takes a seeded w-fraction.
+    Exposes `lengths`/`modality_lengths` when every source does, so
+    length-grouped batching composes.
+    """
+
+    def __init__(self, sources, weights=None, seed: int = 0):
+        import numpy as np
+
+        assert sources, "empty mixture"
+        weights = list(weights) if weights is not None else [1.0] * len(sources)
+        assert len(weights) == len(sources)
+        rng = np.random.default_rng(seed)
+        self.sources = list(sources)
+        self.index = []  # (source_idx, sample_idx)
+        for si, (src, w) in enumerate(zip(self.sources, weights)):
+            n = len(src)
+            reps = int(w)
+            frac = w - reps
+            for _ in range(reps):
+                self.index.extend((si, j) for j in range(n))
+            if frac > 0:
+                take = rng.choice(n, size=max(1, round(frac * n)), replace=False)
+                self.index.extend((si, int(j)) for j in sorted(take))
+        assert self.index, "mixture resolved to zero samples"
+
+    def __len__(self):
+        return len(self.index)
+
+    def __getitem__(self, i):
+        si, j = self.index[i]
+        return self.sources[si][j]
+
+    def _gather(self, attr):
+        per_src = [getattr(s, attr) for s in self.sources]
+        return [per_src[si][j] for si, j in self.index]
+
+    @property
+    def lengths(self):
+        return self._gather("lengths")
+
+    @property
+    def modality_lengths(self):
+        return self._gather("modality_lengths")

@@ -650,3 +650,36 @@ def test_run_config_yaml_tier(tmp_path):
     args2 = p.parse_args(["--config", str(bad)])
     with pytest.raises(SystemExit):
         apply_yaml_config(args2, p, ["--config", str(bad)])
+
+
+def test_mixture_dataset_weights(tmp_path):
+    """MixtureDataset: weight>1 repeats a source, weight<1 subsamples, and
+    lengths pass through for length-grouped batching (role of the reference
+    data-mixture recipes, llava/data/datasets_mixture.py)."""
+    import json
+
+    from omnivideo_tpu.training.conversation import ConversationDataset
+    from omnivideo_tpu.training.sft import MixtureDataset, sft_data_loader
+
+    def write(name, n):
+        recs = [{"conversations": [{"from": "human", "value": f"q{i} " + "x " * i},
+                                   {"from": "gpt", "value": f"a{i}"}]}
+                for i in range(n)]
+        f = tmp_path / name
+        f.write_text("\n".join(json.dumps(r) for r in recs))
+        return str(f)
+
+    tok = _tiny_chat_tokenizer()
+    a = ConversationDataset(write("a.jsonl", 4), tok)
+    b = ConversationDataset(write("b.jsonl", 8), tok)
+
+    mix = MixtureDataset([a, b], [2.0, 0.5], seed=0)
+    assert len(mix) == 2 * 4 + 4  # a twice, half of b
+    assert len(mix.lengths) == len(mix)
+    s = mix[0]
+    assert "ids" in s and "labels" in s
+
+    # grouped loader composes with the mixture
+    loader = sft_data_loader(mix, batch_size=2, seq_len=32, group_by_length=True)
+    batch = next(loader)
+    assert batch["ids"].shape == (2, 32)

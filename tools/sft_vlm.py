@@ -34,9 +34,13 @@ def parse_args():
                    help="YAML training config (CLI flags typed explicitly win)")
     p.add_argument("--model_path", default=None, help="HF Qwen3 checkpoint dir")
     p.add_argument("--data_dir", default=None, help="pickled SFT samples")
-    p.add_argument("--conversations", default=None,
+    p.add_argument("--conversations", nargs="*", default=None,
                    help="conversation-format JSON/JSONL SFT data "
-                        "(chat transcripts; per-turn loss masks)")
+                        "(chat transcripts; per-turn loss masks); several "
+                        "paths form a weighted mixture (--mixture_weights)")
+    p.add_argument("--mixture_weights", nargs="*", type=float, default=None,
+                   help="per-source sampling ratios for --conversations "
+                        "(>1 repeats, <1 subsamples; default all 1.0)")
     p.add_argument("--tokenizer_path", default=None,
                    help="HF tokenizer dir for --conversations "
                         "(defaults to --model_path)")
@@ -235,7 +239,13 @@ def main():
         tok_dir = args.tokenizer_path or args.model_path
         assert tok_dir, "--conversations needs --tokenizer_path or --model_path"
         tok = AutoTokenizer.from_pretrained(tok_dir)
-        ds = ConversationDataset(args.conversations, tok)
+        srcs = [ConversationDataset(p, tok) for p in args.conversations]
+        if len(srcs) == 1 and not args.mixture_weights:
+            ds = srcs[0]
+        else:
+            from omnivideo_tpu.training.sft import MixtureDataset
+
+            ds = MixtureDataset(srcs, args.mixture_weights, seed=args.seed)
         loader = sft_data_loader(
             ds, args.batch_size, args.seq_len, seed=args.seed,
             group_by_length=args.group_by_length,
