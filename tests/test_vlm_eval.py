@@ -261,3 +261,28 @@ def test_evaluate_fmt_aggregates():
     results, summary = vqa.evaluate(rows, lambda r: "yes", fmt="pope")
     assert summary["accuracy"] == 0.5 and "pope" in summary
     assert summary["pope"]["yes_ratio"] == 1.0
+
+
+def test_bundled_fixtures_adapt_and_score():
+    """The shipped samples/vqa_*_example.jsonl fixtures flow through the
+    adapters and scorers (the full harness minus the model)."""
+    import json
+    from pathlib import Path
+
+    from omnivideo_tpu.eval import vqa
+
+    root = Path(__file__).resolve().parents[1] / "samples"
+    rows = [json.loads(l) for l in open(root / "vqa_pope_example.jsonl")]
+    rows = vqa.adapt_rows(rows, "pope")
+    assert len(rows) == 10 and all((root / r["image"]).exists() for r in rows)
+    # oracle answerer: perfect accuracy, perfect F1
+    truth = {r["question_id"]: r["answer"] for r in rows}
+    results, summary = vqa.evaluate(rows, lambda r: truth[r["question_id"]],
+                                    fmt="pope")
+    assert summary["accuracy"] == 1.0 and summary["pope"]["f1"] == 1.0
+
+    mc = [json.loads(l) for l in open(root / "vqa_mmmu_example.jsonl")]
+    mc = vqa.adapt_rows(mc, "mmmu")
+    assert mc[0]["options"][0] == "A. square"
+    _, s2 = vqa.evaluate(mc, lambda r: "The answer is " + r["answer"])
+    assert s2["accuracy"] == 1.0
