@@ -98,3 +98,45 @@ def test_native_frame_ops_match_numpy():
         atol=1e-6,
     )
     np.testing.assert_array_equal(chw_to_frames_u8(ref), frames)
+
+
+def test_chaos_dataset_retry_survives_injected_faults(tmp_path):
+    """Fault injection (utils/chaos.py) drives the dataset's
+    retry-on-corrupt path — CI coverage the reference never had for its
+    equivalent (omnivideo_dataset_patched.py:46-50)."""
+    import numpy as np
+
+    from omnivideo_tpu.training.dataset import OmniVideoDataset, make_dummy_dataset
+    from omnivideo_tpu.utils.chaos import inject_io_faults
+
+    root = make_dummy_dataset(tmp_path / "d", n=6, text_len=4, vlm_len=4,
+                              latent_shape=(4, 2, 4, 4), text_dim=8, vlm_dim=8)
+    ds = OmniVideoDataset(str(root))
+    with inject_io_faults(rate=0.4, seed=3, match="*.npz") as inj:
+        got = [ds[i] for i in range(len(ds))]
+    assert inj.injected > 0, "chaos must actually fire for this test to count"
+    assert len(got) == len(ds) and all("latent_feature" in s for s in got)
+
+
+def test_chaos_call_faults():
+    from omnivideo_tpu.utils.chaos import inject_call_faults
+
+    class Saver:
+        def __init__(self):
+            self.saved = 0
+
+        def save(self):
+            self.saved += 1
+
+    s = Saver()
+    failures = 0
+    with inject_call_faults(s, "save", rate=0.5, seed=1) as inj:
+        for _ in range(20):
+            try:
+                s.save()
+            except RuntimeError:
+                failures += 1
+    assert failures == inj.injected > 0
+    assert s.saved == 20 - failures
+    s.save()  # restored, never raises
+    assert s.saved == 21 - failures
