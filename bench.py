@@ -118,16 +118,22 @@ def bench_t5_encode():
 
 
 def bench_e2e_480p(steps=50):
-    """Measured end-to-end generate(): 832x480, 81 frames, 50 UniPC steps,
-    CFG batch-2, VAE decode — the reference's default T2V configuration."""
+    """Measured end-to-end: 832x480, 81 frames, 50 UniPC steps, CFG batch-2,
+    VAE decode — the reference's default T2V configuration.
+
+    Staged like the reference's model-offload ping-pong
+    (generate_omni_v2v.py:641-710): the denoise phase runs with no VAE
+    resident, then the DiT is freed and the decode runs — holding both plus
+    decode transients risks HBM exhaustion on one chip."""
     import jax
     import jax.numpy as jnp
 
     from omnivideo_tpu.configs import T2V_1_3B
+    from omnivideo_tpu.models.vae2_1 import init_vae, vae_decode
     from omnivideo_tpu.pipelines.x2x import OmniVideoX2XUnified
 
     cfg = T2V_1_3B
-    pipe = OmniVideoX2XUnified.random_init(cfg, with_vae=True, attn_impl="auto")
+    pipe = OmniVideoX2XUnified.random_init(cfg, with_vae=False, attn_impl="auto")
     ctx = jax.random.normal(jax.random.PRNGKey(1), (24, cfg.dit.text_dim), jnp.float32)
     kwargs = dict(
         precomputed_context=ctx,
@@ -137,15 +143,25 @@ def bench_e2e_480p(steps=50):
         sampling_steps=steps,
         guide_scale=3.0,
         seed=7,
-        decode=True,
+        decode=False,
     )
-    video = pipe.generate(**kwargs)  # compile + warm (np.asarray forces)
+    latents = pipe.generate(**kwargs)  # compile + warm
     t0 = time.perf_counter()
-    video = pipe.generate(**kwargs)
-    t = time.perf_counter() - t0
+    latents = pipe.generate(**kwargs)
+    t_denoise = time.perf_counter() - t0
+    z = jnp.asarray(latents)[None] if jnp.ndim(latents) == 4 else jnp.asarray(latents)
+    del pipe, latents
+    _free()
+
+    vae_params = init_vae(jax.random.PRNGKey(3), cfg.vae)
+    fd = jax.jit(lambda p, z: vae_decode(p, cfg.vae, z, dtype=jnp.float32))
+    video = np.asarray(fd(vae_params, z))  # compile + run
+    t0 = time.perf_counter()
+    video = np.asarray(fd(vae_params, z))
+    t_decode = time.perf_counter() - t0
     assert np.isfinite(video).all()
-    del pipe, video
-    return t
+    del vae_params, video
+    return t_denoise + t_decode
 
 
 def bench_720p_step():
@@ -222,9 +238,97 @@ def bench_a14b_compile():
     return time.perf_counter() - t0
 
 
-def main():
-    quick = "--quick" in sys.argv
+def _phase_main(name: str):
+    """Run one detail phase and print its JSON fragment (subprocess entry).
 
+    Each heavy phase runs in a fresh process: the axon tunnel wedges for
+    minutes after an OOM or a killed op, so phase failures must not share a
+    client with the primary metric (observed: e2e UNAVAILABLE cascading into
+    every later phase of the same process)."""
+    out = {}
+    if name == "primary":
+        dit_step_s, mxu_util, detail = bench_primary(quick=True)
+        print("PHASE_JSON:" + json.dumps(
+            {"value": dit_step_s, "vs_baseline": mxu_util, "detail": detail}))
+        return
+    if name == "e2e":
+        out["e2e_480p81f_50steps_s"] = round(bench_e2e_480p(steps=50), 2)
+    elif name == "720p":
+        step720, dec720 = bench_720p_step()
+        out["dit_720p_step_s"] = round(step720, 3)
+        out["vae_decode_720p_s"] = round(dec720, 2)
+    elif name == "t5":
+        out["t5_xxl_encode_s"] = round(bench_t5_encode(), 3)
+    elif name == "a14b":
+        # pure compile check over virtual CPU devices — force the cpu
+        # platform so a wedged axon tunnel can't hang backend init
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        out["a14b_fsdp8_compile_s"] = round(bench_a14b_compile(), 1)
+    else:
+        raise SystemExit(f"unknown phase {name}")
+    print("PHASE_JSON:" + json.dumps(out))
+
+
+def _tunnel_alive(timeout_s: int = 90) -> bool:
+    """One tiny op in a throwaway subprocess — detects a wedged tunnel
+    without hanging this process."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jnp.ones((128,128)) @ jnp.ones((128,128)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_tunnel(max_wait_s: int = 1200) -> bool:
+    """Probe until the tunnel answers (axon wedges for 10-15 min after an
+    OOM or a killed in-flight op)."""
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        if _tunnel_alive():
+            return True
+        if time.monotonic() > deadline:
+            return False
+        print("# tunnel wedged; waiting 120s", file=sys.stderr)
+        time.sleep(120)
+
+
+def _run_phase_subprocess(name: str, timeout_s: int, detail: dict,
+                          retries: int = 1, needs_tpu: bool = True) -> None:
+    """Run a detail phase isolated; merge its JSON on success."""
+    import subprocess
+
+    for attempt in range(retries + 1):
+        if needs_tpu and not _wait_for_tunnel():
+            print(f"# phase {name}: tunnel unusable; skipping", file=sys.stderr)
+            return
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--phase", name],
+                timeout=timeout_s, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"# phase {name}: timeout {timeout_s}s "
+                  f"(attempt {attempt + 1})", file=sys.stderr)
+            time.sleep(60)  # let the server side settle before the next phase
+            continue
+        for line in r.stdout.splitlines():
+            if line.startswith("PHASE_JSON:"):
+                detail.update(json.loads(line[len("PHASE_JSON:"):]))
+                return
+        tail = (r.stderr or "").strip().splitlines()[-1:] or ["no output"]
+        print(f"# phase {name} failed (attempt {attempt + 1}): {tail[0]}",
+              file=sys.stderr)
+        time.sleep(60)
+
+
+def bench_primary(quick: bool):
+    """Primary metric + base detail dict (runs in ONE process's jax client)."""
     import jax
     import jax.numpy as jnp
 
@@ -294,29 +398,56 @@ def main():
         "vs_baseline_semantics": "fraction of bf16 roofline (reference publishes no numbers)",
     }
 
-    # free the primary-phase buffers before the memory-heavy phases
-    del x, ctx, t, fwd
-    _free()
+    if not on_tpu:
+        try:
+            detail["a14b_fsdp8_compile_s"] = round(bench_a14b_compile(), 1)
+        except Exception as e:
+            print(f"# a14b compile check failed: {e}", file=sys.stderr)
 
-    if on_tpu and not quick:
+    return dit_step_s, mxu_util, detail
+
+
+def _orchestrate(quick: bool):
+    """Pure orchestrator: never initializes a jax client, so each phase
+    subprocess gets exclusive chip access (one process holds the TPU at a
+    time; a parent holding it starves every child)."""
+    import subprocess
+
+    backend = None
+    for _ in range(4):
+        code = "import jax; print('BACKEND=' + jax.default_backend())"
         try:
-            e2e = bench_e2e_480p(steps=50)
-            detail["e2e_480p81f_50steps_s"] = round(e2e, 2)
-        except Exception as e:
-            print(f"# e2e bench failed: {e}", file=sys.stderr)
-        _free()
-        try:
-            step720, dec720 = bench_720p_step()
-            detail["dit_720p_step_s"] = round(step720, 3)
-            detail["vae_decode_720p_s"] = round(dec720, 2)
-        except Exception as e:
-            print(f"# 720p bench failed: {e}", file=sys.stderr)
-        _free()
-        try:
-            detail["t5_xxl_encode_s"] = round(bench_t5_encode(), 3)
-        except Exception as e:
-            print(f"# t5 bench failed: {e}", file=sys.stderr)
-        _free()
+            r = subprocess.run([sys.executable, "-c", code], timeout=120,
+                               capture_output=True, text=True)
+            for line in r.stdout.splitlines():
+                if line.startswith("BACKEND="):
+                    backend = line.split("=", 1)[1]
+            if backend:
+                break
+        except subprocess.TimeoutExpired:
+            print("# backend probe timed out (wedged tunnel?); retrying",
+                  file=sys.stderr)
+            time.sleep(90)
+    if backend != "tpu":
+        # CPU box (or unusable tunnel): everything tiny, one process
+        dit_step_s, mxu_util, detail = bench_primary(quick)
+        _emit(dit_step_s, mxu_util, detail)
+        return
+
+    detail = {}
+    primary = {}
+    _run_phase_subprocess("primary", 1500, primary, retries=2)
+    if "value" not in primary:
+        raise SystemExit("primary bench phase failed")
+    detail.update(primary["detail"])
+
+    if not quick:
+        _run_phase_subprocess("720p", 600, detail)
+        _run_phase_subprocess("e2e", 1500, detail, retries=0)
+        # t5 last: a failing phase wedges the tunnel ~10-40 min, so the
+        # flakiest phase must not sit in front of the others; no retry
+        # (deterministic failures just wedge twice)
+        _run_phase_subprocess("t5", 420, detail, retries=0)
         if "e2e_480p81f_50steps_s" in detail:
             detail["sec_per_video_480p_e2e"] = round(
                 detail["e2e_480p81f_50steps_s"] + detail.get("t5_xxl_encode_s", 0.0), 2
@@ -327,21 +458,27 @@ def main():
                 + 50 * detail["dit_720p_step_s"]
                 + detail.get("vae_decode_720p_s", 0.0), 2
             )
+        _run_phase_subprocess("a14b", 900, detail, needs_tpu=False)
+    _emit(primary["value"], primary["vs_baseline"], detail)
 
-    if not quick:
-        try:
-            detail["a14b_fsdp8_compile_s"] = round(bench_a14b_compile(), 1)
-        except Exception as e:
-            print(f"# a14b compile check failed: {e}", file=sys.stderr)
 
+def _emit(dit_step_s, mxu_util, detail):
     result = {
         "metric": "1.3B DiT denoise step (CFG batch-2, 480p 81f), single chip",
-        "value": round(dit_step_s, 4),
+        "value": round(float(dit_step_s), 4),
         "unit": "s/step",
-        "vs_baseline": round(mxu_util, 4),
+        "vs_baseline": round(float(mxu_util), 4),
         "detail": detail,
     }
     print(json.dumps(result))
+
+
+def main():
+    quick = "--quick" in sys.argv
+    if "--phase" in sys.argv:
+        _phase_main(sys.argv[sys.argv.index("--phase") + 1])
+        return
+    _orchestrate(quick)
 
 
 if __name__ == "__main__":

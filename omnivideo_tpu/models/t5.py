@@ -72,8 +72,11 @@ def t5_layer_apply(lp, x, mask_bias, buckets, cfg: T5Config):
     pos_bias = lp["pos_embedding"][buckets]  # [L, L, N]
     pos_bias = pos_bias.astype(jnp.float32).transpose(2, 0, 1)[None]  # [1, N, L, L]
 
-    # self attention, NO scaling (t5.py:110-112)
-    h = _t5_norm(x, lp["norm1"])
+    # self attention, NO scaling (t5.py:110-112). The norm computes in f32;
+    # cast its output to the param dtype so bf16 checkpoints run the matmuls
+    # on the bf16 MXU path and the residual stream keeps the carry dtype
+    # (reference autocast semantics).
+    h = _t5_norm(x, lp["norm1"]).astype(pdtype)
     q = (h @ lp["attn"]["q"]).reshape(B, L, N, hd)
     k = (h @ lp["attn"]["k"]).reshape(B, L, N, hd)
     v = (h @ lp["attn"]["v"]).reshape(B, L, N, hd)
@@ -85,7 +88,7 @@ def t5_layer_apply(lp, x, mask_bias, buckets, cfg: T5Config):
     x = x + o
 
     # gated FFN: fc1(x) · gelu_tanh(gate(x)) (t5.py:130-140)
-    h = _t5_norm(x, lp["norm2"])
+    h = _t5_norm(x, lp["norm2"]).astype(pdtype)
     y = (h @ lp["ffn"]["fc1"]) * _gelu_tanh(h @ lp["ffn"]["gate"])
     x = x + (y @ lp["ffn"]["fc2"])
     return x

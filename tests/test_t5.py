@@ -55,3 +55,27 @@ def test_t5_init_and_mask_effect():
     o2 = t5_encode(params, cfg, ids, m2)
     # masking the tail must change the valid-token representations
     assert not np.allclose(np.asarray(o1[0, :8]), np.asarray(o2[0, :8]))
+
+
+def test_t5_encode_bf16_params():
+    """bf16 checkpoints must encode (scan carry keeps one dtype) and track
+    the f32 result — the deployment dtype of the reference T5 .pth
+    (models_t5_umt5-xxl-enc-bf16)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omnivideo_tpu.models.t5 import T5Config, init_t5, t5_encode
+
+    cfg = T5Config(vocab_size=64, dim=32, dim_attn=32, dim_ffn=64,
+                   num_heads=4, num_layers=2, num_buckets=8, text_len=16)
+    ids = jnp.arange(16, dtype=jnp.int32)[None] % 64
+    mask = jnp.ones((1, 16), jnp.int32)
+
+    p32 = init_t5(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    pbf = init_t5(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    ref = t5_encode(p32, cfg, ids, mask)
+    out = t5_encode(pbf, cfg, ids, mask)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=0.1, atol=0.15)
