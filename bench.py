@@ -286,7 +286,7 @@ def _tunnel_alive(timeout_s: int = 90) -> bool:
         return False
 
 
-def _wait_for_tunnel(max_wait_s: int = 1200) -> bool:
+def _wait_for_tunnel(max_wait_s: int = 900) -> bool:
     """Probe until the tunnel answers (axon wedges for 10-15 min after an
     OOM or a killed in-flight op)."""
     deadline = time.monotonic() + max_wait_s
