@@ -144,6 +144,8 @@ def bench_e2e_480p(steps=50):
         guide_scale=3.0,
         seed=7,
         decode=False,
+        max_steps_per_call=10,  # bound single-dispatch walltime (tunnel
+                                # drops executions running for minutes)
     )
     latents = pipe.generate(**kwargs)  # compile + warm
     t0 = time.perf_counter()

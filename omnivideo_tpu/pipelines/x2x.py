@@ -206,6 +206,7 @@ class OmniVideoX2XUnified:
         seed: int = -1,
         condition_mode: str = "auto",
         decode: bool = True,
+        max_steps_per_call: Optional[int] = None,
     ):
         """Generate a video (reference generate(), x2x_gen_unified.py:261-540).
 
@@ -290,6 +291,26 @@ class OmniVideoX2XUnified:
             segments.append((self.high_noise, 0, n_high, g_high))
         if n_high < S:
             segments.append((self.low_noise, n_high, S, g_low))
+
+        if max_steps_per_call:
+            # chunk each expert segment into near-equal scan calls: the
+            # solver state carries all cross-step memory, so splitting is
+            # exact (the expert-boundary split above relies on the same
+            # property). Near-equal sizing keeps the jit cache to <=2 scan
+            # lengths per segment. Bounds single-dispatch walltime (the
+            # axon tunnel drops executions running for minutes) and gives
+            # the preemption guard step-level granularity.
+            chunked = []
+            for expert, a, b, g in segments:
+                n = b - a
+                pieces = -(-n // max_steps_per_call)
+                base, extra = divmod(n, pieces)
+                at = a
+                for i in range(pieces):
+                    ln = base + (1 if i < extra else 0)
+                    chunked.append((expert, at, at + ln, g))
+                    at += ln
+            segments = chunked
 
         import time as _time
 

@@ -264,3 +264,31 @@ def test_dual_expert_boundary_split():
     pipe._denoise_cache.clear()
     lat_g = pipe.generate(**{**kw, "guide_scale": (3.0, 4.0)})
     assert bool(jnp.isfinite(lat_g).all())
+
+
+def test_generate_chunked_scan_exact():
+    """max_steps_per_call chunking is an exact split of the denoise scan
+    (solver state carries all cross-step memory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.configs.base import PipelineConfig, VAEConfig, WanDiTConfig
+    from omnivideo_tpu.pipelines.x2x import OmniVideoX2XUnified
+
+    cfg = PipelineConfig(
+        name="tiny-chunk",
+        dit=WanDiTConfig(patch_size=(1, 2, 2), in_dim=8, out_dim=8, dim=64,
+                         ffn_dim=128, freq_dim=32, text_dim=48, num_heads=4,
+                         num_layers=2),
+        vae=VAEConfig(dim=8, z_dim=8),
+        max_context_len=32, dual_expert=False, vlm_in_dim=16,
+        param_dtype="float32",
+    )
+    ctx = jnp.ones((5, 48), jnp.float32) * 0.1
+    kw = dict(precomputed_context=ctx, precomputed_context_null=jnp.zeros_like(ctx),
+              size=(64, 32), frame_num=9, sampling_steps=7, guide_scale=3.0,
+              seed=11, decode=False)
+    pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl="xla", with_vae=False)
+    ref = pipe.generate(**kw)
+    out = pipe.generate(**kw, max_steps_per_call=3)  # 7 -> 3+2+2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)

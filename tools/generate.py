@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--dp_rank", type=int, default=None)
     p.add_argument("--dp_world_size", type=int, default=None)
     p.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--max_steps_per_call", type=int, default=None,
+                   help="chunk the denoise scan into calls of <= N steps "
+                        "(bounds single-dispatch walltime; exact split)")
     p.add_argument("--sp_size", type=int, default=1,
                    help="Ulysses sequence-parallel degree (devices along 'seq')")
     p.add_argument("--sp_mode", default="ulysses", choices=["ulysses", "ring", "hybrid"])
@@ -254,6 +257,7 @@ def main():
                 sampling_steps=steps,
                 guide_scale=guide,
                 seed=args.base_seed + idx,
+                max_steps_per_call=args.max_steps_per_call,
                 **kw,
             )
         dt = time.time() - t0
