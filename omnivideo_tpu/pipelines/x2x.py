@@ -207,6 +207,7 @@ class OmniVideoX2XUnified:
         condition_mode: str = "auto",
         decode: bool = True,
         max_steps_per_call: Optional[int] = None,
+        vae_dtype=None,
     ):
         """Generate a video (reference generate(), x2x_gen_unified.py:261-540).
 
@@ -334,5 +335,8 @@ class OmniVideoX2XUnified:
         if not decode:
             return latents
         assert self.vae is not None, "no VAE attached"
-        video = self.vae.decode(latents)
+        # vae_dtype=bf16 runs the decoder convs on the bf16 MXU path (~2x);
+        # output is cast back to f32 before [-1,1] clamping either way
+        video = (self.vae.decode(latents, dtype=vae_dtype) if vae_dtype is not None
+                 else self.vae.decode(latents))
         return np.asarray(video[0])
