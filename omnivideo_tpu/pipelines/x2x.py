@@ -327,7 +327,10 @@ class OmniVideoX2XUnified:
             )
             run = self._denoise_segment_fn(solver_cls, b - a, seq_len)
             state = run(expert.wan, state, coeffs_seg, mixed2, jnp.float32(g))
-            jax.block_until_ready(state.x)
+            # force the segment: block_until_ready is a NO-OP under the axon
+            # TPU plugin, so without a scalar readback the walltime logs (and
+            # any caller timing generate()) measure dispatch, not execution
+            assert np.isfinite(float(jnp.sum(state.x))), "non-finite latents"
             log.info("denoise segment steps[%d:%d) took %.2fs (guide %.1f)",
                      a, b, _time.perf_counter() - t_seg, g)
 
