@@ -1,8 +1,10 @@
 """Config registries (reference: `omnivideo/configs/__init__.py:8-30`)."""
 
 from .base import (
+    I2V_14B,
     PipelineConfig,
     T2V_1_3B,
+    T2V_14B,
     T2V_A14B,
     T5Config,
     VAEConfig,
@@ -17,6 +19,11 @@ WAN_CONFIGS = {
     # configs; aliases below match reference task substrings
     "v2v-A14B": T2V_A14B,
     "v2v-1.3B": T2V_1_3B,
+    # vanilla Wan2.1 third-party stack (reference wan/configs/): t2i shares
+    # the t2v-1.3B weights (t2i_1_3B.py is the same table; frame_num=1)
+    "t2v-14B": T2V_14B,
+    "i2v-14B": I2V_14B,
+    "t2i-1.3B": T2V_1_3B,
 }
 
 SIZE_CONFIGS = {
@@ -38,6 +45,9 @@ SUPPORTED_SIZES = {
     "t2v-1.3B": ("480*832", "832*480"),
     "v2v-A14B": ("720*1280", "1280*720", "480*832", "832*480"),
     "v2v-1.3B": ("480*832", "832*480"),
+    "t2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
+    "i2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
+    "t2i-1.3B": ("480*832", "832*480"),
 }
 
 __all__ = [
@@ -46,7 +56,9 @@ __all__ = [
     "VAEConfig",
     "T5Config",
     "T2V_1_3B",
+    "T2V_14B",
     "T2V_A14B",
+    "I2V_14B",
     "WAN_CONFIGS",
     "SIZE_CONFIGS",
     "MAX_AREA_CONFIGS",

@@ -161,6 +161,47 @@ T2V_1_3B = PipelineConfig(
     max_context_len=6272,  # inference_omni_v2v_1_3B.sh:67
 )
 
+T2V_14B = PipelineConfig(
+    name="t2v-14B",
+    # vanilla Wan2.1 14B (reference previous_version/.../wan/configs/
+    # wan_t2v_14B.py): single expert, text-only conditioning
+    dit=WanDiTConfig(
+        patch_size=(1, 2, 2),
+        dim=5120,
+        ffn_dim=13824,
+        freq_dim=256,
+        num_heads=40,
+        num_layers=40,
+        qk_norm=True,
+        cross_attn_norm=True,
+        eps=1e-6,
+    ),
+    dual_expert=False,
+    max_context_len=512,
+)
+
+I2V_14B = PipelineConfig(
+    name="i2v-14B",
+    # vanilla Wan2.1 i2v 14B (reference wan_i2v_14B.py): first-frame latent +
+    # mask concatenated on the input channels (in_dim 36 = 16 latent +
+    # 4 mask + 16 y, model.py:451-452) and CLIP-token split cross-attention
+    dit=WanDiTConfig(
+        model_type="i2v",
+        patch_size=(1, 2, 2),
+        in_dim=36,
+        dim=5120,
+        ffn_dim=13824,
+        freq_dim=256,
+        num_heads=40,
+        num_layers=40,
+        qk_norm=True,
+        cross_attn_norm=True,
+        eps=1e-6,
+    ),
+    dual_expert=False,
+    max_context_len=512,
+)
+
 T2V_A14B = PipelineConfig(
     name="t2v-A14B",
     dit=WanDiTConfig(
