@@ -368,7 +368,7 @@ def bench_primary(quick: bool):
     del params
 
     # VAE decode throughput (BASELINE.json: "VAE decode fps")
-    vae_fps = None
+    vae_fps = vae_fps_bf16 = None
     if on_tpu:
         try:
             vae_params = init_vae(jax.random.PRNGKey(3), cfg.vae)
@@ -379,6 +379,10 @@ def bench_primary(quick: bool):
             dec_s = _timed(lambda *a: float(fd(*a)), vae_params, z, n=1)
             n_frames = (frames_lat - 1) * 4 + 1
             vae_fps = n_frames / dec_s
+            fdb = jax.jit(lambda p, z: jnp.sum(
+                vae_decode(p, cfg.vae, z, dtype=jnp.bfloat16).astype(jnp.float32)))
+            dec_bf16_s = _timed(lambda *a: float(fdb(*a)), vae_params, z, n=1)
+            vae_fps_bf16 = n_frames / dec_bf16_s
             del vae_params
         except Exception as e:  # pragma: no cover
             print(f"# vae bench failed: {e}", file=sys.stderr)
@@ -397,6 +401,8 @@ def bench_primary(quick: bool):
         "dit_tflops_per_step": round(flops / 1e12, 2),
         "mxu_utilization": round(mxu_util, 4),
         "vae_decode_fps_480p": round(vae_fps, 1) if vae_fps else None,
+        "vae_decode_fps_480p_bf16": (round(vae_fps_bf16, 1)
+                                     if vae_fps_bf16 else None),
         "vs_baseline_semantics": "fraction of bf16 roofline (reference publishes no numbers)",
     }
 
