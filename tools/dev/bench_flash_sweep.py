@@ -45,6 +45,11 @@ def main():
     results = []
     for bq in (512, 1024, 2048):
         for bk in (1024, 2048, 4096):
+            if 4 * bq * bk > 8 * 2**20:
+                # logits tile would blow VMEM — and a failed TPU op wedges
+                # the tunnel for 10-40 min (CLAUDE.md), so never try
+                print(f"bq={bq:5d} bk={bk:5d}: skipped (VMEM)", flush=True)
+                continue
             try:
                 f = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(
                     q, k, v, None, block_q=bq, block_k=bk))
