@@ -292,3 +292,29 @@ def test_generate_chunked_scan_exact():
     ref = pipe.generate(**kw)
     out = pipe.generate(**kw, max_steps_per_call=3)  # 7 -> 3+2+2
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_serve_handler_generates(tmp_path):
+    """tools/serve.py request handler: context in -> clip written + JSON out
+    (the serving frontend the reference lacks)."""
+    import sys
+    from pathlib import Path as P
+
+    sys.path.insert(0, str(P(__file__).resolve().parents[1] / "tools"))
+    import serve as serve_mod
+
+    # build args without touching argv
+    import argparse
+    ns = argparse.Namespace(
+        task="t2v-1.3B", ckpt_dir=None, random_weights=True,
+        output_dir=str(tmp_path), port=0, host="127.0.0.1", attn_impl="xla",
+        max_steps_per_call=2, vae_dtype=None, tiny=True, platform=None,
+        once=None,
+    )
+    srv = serve_mod.Server(ns)
+    out = srv.handle_generate({
+        "id": "t1", "context": [[0.1] * 48], "size": [64, 32],
+        "frame_num": 9, "sampling_steps": 2, "seed": 5,
+    })
+    assert out["id"] == "t1" and P(out["path"]).exists()
+    assert out["latency_s"] > 0
