@@ -12,7 +12,9 @@ and this library holds what actually differs per benchmark —
     answers?}
   * a scoring MODE: "open" (normalized exact/prefix match — MME/POPE),
     "mc" (multiple-choice letter extraction — VideoMME/MMMU/ScienceQA),
-    "vqa_soft" (VQAv2 consensus min(matches/3, 1) — TextVQA)
+    "vqa_soft" (VQAv2 consensus min(matches/3, 1) — TextVQA),
+    "relaxed" (±5% numeric tolerance — ChartQA),
+    "anls" (normalized-Levenshtein similarity, 0.5 floor — DocVQA)
   * benchmark AGGREGATES beyond plain accuracy: POPE precision/recall/F1/
     yes-ratio, MME acc+acc+ per-category score.
 """
@@ -68,12 +70,63 @@ def score_vqa_soft(prediction: str, answers: List[str]) -> float:
     return min(matches / 3.0, 1.0)
 
 
+def score_relaxed(prediction: str, truth: str, tol: float = 0.05) -> bool:
+    """ChartQA relaxed accuracy: numeric answers match within ±5%, strings
+    by normalized equality (ref eval/eval_chartqa semantics). Numbers are
+    extracted from the RAW strings — normalize_answer strips the decimal
+    point ('37.5' → '375')."""
+    num = re.compile(r"-?\d+(?:\.\d+)?")
+    tm = num.fullmatch(str(truth).strip().rstrip("%"))
+    if tm:
+        pm = num.findall(str(prediction))
+        if not pm:
+            return False
+        pv, tv = float(pm[-1]), float(tm.group())
+        if tv == 0:
+            return pv == 0
+        return abs(pv - tv) / abs(tv) <= tol
+    return normalize_answer(prediction) == normalize_answer(truth)
+
+
+def score_anls(prediction: str, truth_list: List[str],
+               threshold: float = 0.5) -> float:
+    """DocVQA ANLS: 1 − normalized Levenshtein to the closest ground truth,
+    floored to 0 below the 0.5 threshold."""
+    p = normalize_answer(prediction)
+
+    def lev(a: str, b: str) -> int:
+        if not a:
+            return len(b)
+        if not b:
+            return len(a)
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    best = 0.0
+    for t in truth_list:
+        t = normalize_answer(t)
+        denom = max(len(p), len(t), 1)
+        s = 1.0 - lev(p, t) / denom
+        best = max(best, s)
+    return best if best >= threshold else 0.0
+
+
 def score_row(row: Dict, prediction: str) -> float:
     mode = row.get("mode", "open")
     if mode == "mc":
         return float(score_mc(prediction, row["answer"]))
     if mode == "vqa_soft":
         return score_vqa_soft(prediction, row.get("answers") or [row.get("answer", "")])
+    if mode == "relaxed":
+        return float(score_relaxed(prediction, str(row.get("answer", ""))))
+    if mode == "anls":
+        return score_anls(prediction, row.get("answers") or [row.get("answer", "")])
     return float(score_open(prediction, str(row.get("answer", row.get("label", "")))))
 
 
@@ -181,6 +234,30 @@ def adapt_scienceqa(r: Dict) -> Dict:
     }
 
 
+def adapt_chartqa(r: Dict) -> Dict:
+    return {
+        "question_id": r.get("question_id", r.get("qid")),
+        "text": f"{r.get('query', r.get('question', r.get('text', '')))} {_YN_SUFFIX}".strip(),
+        "image": r.get("image", r.get("imgname")),
+        "answer": r.get("label", r.get("answer", "")),
+        "category": r.get("category", "chartqa"),
+        "mode": "relaxed",
+    }
+
+
+def adapt_docvqa(r: Dict) -> Dict:
+    answers = r.get("answers") or ([r["answer"]] if r.get("answer") else [])
+    return {
+        "question_id": r.get("questionId", r.get("question_id")),
+        "text": f"{r.get('question', r.get('text', ''))} {_YN_SUFFIX}".strip(),
+        "image": r.get("image"),
+        "answer": answers[0] if answers else "",
+        "answers": answers,
+        "category": r.get("category", "docvqa"),
+        "mode": "anls",
+    }
+
+
 def adapt_textvqa(r: Dict) -> Dict:
     answers = r.get("answers") or ([r["answer"]] if r.get("answer") else [])
     return {
@@ -202,6 +279,8 @@ ADAPTERS: Dict[str, Callable[[Dict], Dict]] = {
     "mmmu": adapt_mmmu,
     "scienceqa": adapt_scienceqa,
     "textvqa": adapt_textvqa,
+    "chartqa": adapt_chartqa,
+    "docvqa": adapt_docvqa,
 }
 
 

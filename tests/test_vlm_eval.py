@@ -286,3 +286,29 @@ def test_bundled_fixtures_adapt_and_score():
     assert mc[0]["options"][0] == "A. square"
     _, s2 = vqa.evaluate(mc, lambda r: "The answer is " + r["answer"])
     assert s2["accuracy"] == 1.0
+
+
+def test_chartqa_relaxed_and_docvqa_anls():
+    from omnivideo_tpu.eval import vqa
+
+    # relaxed: ±5% numeric tolerance, strings exact
+    assert vqa.score_relaxed("42", "40")          # 5.0%
+    assert not vqa.score_relaxed("42.5", "40")    # 6.25%
+    assert vqa.score_relaxed("12%", "12")
+    assert vqa.score_relaxed("blue", "Blue")
+    assert not vqa.score_relaxed("blue", "red")
+
+    # anls: edit-distance similarity, 0.5 floor
+    assert vqa.score_anls("hello", ["hello"]) == 1.0
+    assert 0.5 < vqa.score_anls("helo", ["hello"]) < 1.0
+    assert vqa.score_anls("zzz", ["hello"]) == 0.0
+
+    c = vqa.adapt_chartqa({"qid": 1, "query": "What is the max?",
+                           "imgname": "c.png", "label": "37"})
+    assert c["mode"] == "relaxed" and c["image"] == "c.png"
+    assert vqa.score_row(c, "The max is 37.5") == 1.0
+
+    d = vqa.adapt_docvqa({"questionId": 7, "question": "Invoice number?",
+                          "image": "d.png", "answers": ["INV-001", "inv001"]})
+    assert d["mode"] == "anls"
+    assert vqa.score_row(d, "INV-001") == 1.0
