@@ -234,6 +234,34 @@ def adapt_scienceqa(r: Dict) -> Dict:
     }
 
 
+def adapt_gqa(r: Dict) -> Dict:
+    return {
+        "question_id": r.get("question_id", r.get("id")),
+        "text": f"{r.get('question', r.get('text', ''))} {_YN_SUFFIX}".strip(),
+        "image": r.get("image", r.get("imageId")),
+        "answer": r.get("answer", ""),
+        "category": r.get("types", {}).get("semantic", "gqa")
+        if isinstance(r.get("types"), dict) else r.get("category", "gqa"),
+        "mode": "open",
+    }
+
+
+def adapt_vizwiz(r: Dict) -> Dict:
+    answers = [a.get("answer", a) if isinstance(a, dict) else a
+               for a in (r.get("answers") or [])]
+    return {
+        "question_id": r.get("question_id"),
+        "text": (f"{r.get('question', r.get('text', ''))} When the provided "
+                 "information is insufficient, respond with 'Unanswerable'. "
+                 + _YN_SUFFIX).strip(),
+        "image": r.get("image"),
+        "answer": answers[0] if answers else r.get("answer", ""),
+        "answers": answers,
+        "category": r.get("answer_type", r.get("category", "vizwiz")),
+        "mode": "vqa_soft",
+    }
+
+
 def adapt_chartqa(r: Dict) -> Dict:
     return {
         "question_id": r.get("question_id", r.get("qid")),
@@ -281,6 +309,8 @@ ADAPTERS: Dict[str, Callable[[Dict], Dict]] = {
     "textvqa": adapt_textvqa,
     "chartqa": adapt_chartqa,
     "docvqa": adapt_docvqa,
+    "gqa": adapt_gqa,
+    "vizwiz": adapt_vizwiz,
 }
 
 

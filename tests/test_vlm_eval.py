@@ -312,3 +312,21 @@ def test_chartqa_relaxed_and_docvqa_anls():
                           "image": "d.png", "answers": ["INV-001", "inv001"]})
     assert d["mode"] == "anls"
     assert vqa.score_row(d, "INV-001") == 1.0
+
+
+def test_gqa_vizwiz_adapters():
+    from omnivideo_tpu.eval import vqa
+
+    g = vqa.adapt_gqa({"id": "g1", "question": "What color is the car?",
+                       "image": "g.png", "answer": "red",
+                       "types": {"semantic": "attr"}})
+    assert g["mode"] == "open" and g["category"] == "attr"
+    assert vqa.score_row(g, "Red.") == 1.0
+
+    v = vqa.adapt_vizwiz({"question_id": 2, "question": "What is this?",
+                          "image": "v.png",
+                          "answers": [{"answer": "soda"}] * 4
+                          + [{"answer": "unanswerable"}] * 6})
+    assert v["mode"] == "vqa_soft" and "Unanswerable" in v["text"]
+    assert vqa.score_row(v, "unanswerable") == 1.0  # 6 >= 3 annotators
+    assert vqa.score_row(v, "soda") == 1.0          # 4 >= 3
