@@ -140,3 +140,24 @@ def test_chaos_call_faults():
     assert s.saved == 20 - failures
     s.save()  # restored, never raises
     assert s.saved == 21 - failures
+
+
+def test_bench_phase_protocol_a14b():
+    """bench.py --phase a14b (CPU compile check) emits the PHASE_JSON line
+    the orchestrator merges — CI coverage for the driver-facing bench
+    protocol without touching a TPU."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(root / "bench.py"), "--phase", "a14b"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith("PHASE_JSON:")]
+    assert len(lines) == 1
+    out = json.loads(lines[0][len("PHASE_JSON:"):])
+    assert out["a14b_fsdp8_compile_s"] > 0
