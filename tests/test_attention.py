@@ -102,3 +102,21 @@ def test_pallas_backward_unmasked_square():
     gx = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5)
+
+
+def test_flash_packed_and_fallback_layouts_match():
+    """The packed [B,L,N·D] path (D%128==0) and the head-major transpose
+    fallback (D%128!=0) both match the XLA oracle in interpret mode — pins
+    the layout dispatch in _flash_fwd_unpadded."""
+    from omnivideo_tpu.ops import attention_xla
+    from omnivideo_tpu.ops.pallas.flash_attention import flash_attention
+
+    for (B, Lq, Lk, N, D) in [(1, 260, 200, 2, 128),   # packed
+                              (2, 130, 70, 3, 64)]:    # fallback
+        q = _rand((B, Lq, N, D), 0)
+        k = _rand((B, Lk, N, D), 1)
+        v = _rand((B, Lk, N, D), 2)
+        ref = np.asarray(attention_xla(q, k, v), np.float32)
+        out = np.asarray(
+            flash_attention(q, k, v, None, None, 128, 128, True), np.float32)
+        np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
