@@ -47,6 +47,10 @@ class TrainConfig:
     cfg_dropout: float = 0.2
     num_train_timesteps: int = 1000
     remat: bool = True
+    # micro-batch accumulation (reference DeepSpeed gradient_accumulation_steps,
+    # omnivideo_mixed_task_1_3B.yaml:61): grads accumulate across k train_step
+    # calls; the wrapped update applies on every k-th (optax.MultiSteps)
+    grad_accum_steps: int = 1
     # path-substring predicates for freezing (reference finetune_model.py:560-586)
     trainable_filters: tuple = ()  # empty = train everything
 
@@ -78,6 +82,10 @@ def make_optimizer(tc: TrainConfig, params=None):
     )
     if params is not None and tc.trainable_filters:
         tx = optax.masked(tx, _trainable_mask(params, tc.trainable_filters))
+    if tc.grad_accum_steps > 1:
+        # accumulator state is sharded like the grads (GSPMD propagates), so
+        # the ZeRO-style memory layout survives accumulation
+        tx = optax.MultiSteps(tx, every_k_schedule=tc.grad_accum_steps)
     return tx
 
 

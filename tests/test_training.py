@@ -683,3 +683,40 @@ def test_mixture_dataset_weights(tmp_path):
     loader = sft_data_loader(mix, batch_size=2, seq_len=32, group_by_length=True)
     batch = next(loader)
     assert batch["ids"].shape == (2, 32)
+
+
+def test_grad_accumulation_matches_large_batch():
+    """grad_accum_steps=k over k micro-batches equals one k-sized batch
+    update (MultiSteps mean-accumulation; role of the reference's DeepSpeed
+    gradient_accumulation_steps, omnivideo_mixed_task_1_3B.yaml:61)."""
+    import optax
+
+    from omnivideo_tpu.training.trainer import TrainConfig, make_optimizer
+
+    params = {"w": jnp.ones((4,))}
+
+    def grad_of(batch):  # fake per-batch gradient: the batch mean
+        return {"w": jnp.full((4,), float(np.mean(batch)))}
+
+    # accumulated: two micro-batches
+    tc = TrainConfig(learning_rate=1e-2, grad_clip=10.0, warmup_steps=0,
+                     total_steps=10, grad_accum_steps=2)
+    tx = make_optimizer(tc)
+    st = tx.init(params)
+    p_acc = params
+    for mb in ([1.0, 3.0], [5.0, 7.0]):
+        g = grad_of(np.asarray(mb))
+        up, st = tx.update(g, st, p_acc)
+        p_acc = optax.apply_updates(p_acc, up)
+
+    # reference: one update with the mean gradient of the combined batch
+    tc1 = TrainConfig(learning_rate=1e-2, grad_clip=10.0, warmup_steps=0,
+                      total_steps=10, grad_accum_steps=1)
+    tx1 = make_optimizer(tc1)
+    st1 = tx1.init(params)
+    g = grad_of(np.asarray([1.0, 3.0, 5.0, 7.0]))
+    up1, st1 = tx1.update(g, st1, params)
+    p_ref = optax.apply_updates(params, up1)
+
+    np.testing.assert_allclose(np.asarray(p_acc["w"]), np.asarray(p_ref["w"]),
+                               rtol=1e-6)

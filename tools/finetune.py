@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--warmup_steps", type=int, default=500)
     p.add_argument("--lr", type=float, default=3e-6)
     p.add_argument("--grad_clip", type=float, default=0.1)
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="accumulate grads over N micro-batches per update "
+                        "(reference gradient_accumulation_steps)")
     p.add_argument("--flow_shift", type=float, default=3.0)
     p.add_argument("--cfg_dropout", type=float, default=0.2)
     p.add_argument("--save_interval", type=int, default=500)
@@ -127,6 +130,7 @@ def main():
         flow_shift=args.flow_shift,
         cfg_dropout=args.cfg_dropout,
         trainable_filters=tuple(args.trainable),
+        grad_accum_steps=args.grad_accum_steps,
     )
 
     # ---- data: per-task loaders, weighted round-robin -----------------------
