@@ -51,8 +51,25 @@ class TrainConfig:
     # omnivideo_mixed_task_1_3B.yaml:61): grads accumulate across k train_step
     # calls; the wrapped update applies on every k-th (optax.MultiSteps)
     grad_accum_steps: int = 1
+    # timestep density (reference weighting_scheme, yaml:54-57): "uniform"
+    # or SD3-style "logit_normal" — u = sigmoid(N(mean, std)), concentrating
+    # samples at mid-noise levels
+    timestep_sampling: str = "uniform"
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
     # path-substring predicates for freezing (reference finetune_model.py:560-586)
     trainable_filters: tuple = ()  # empty = train everything
+
+
+def _sample_timestep_ids(key, B, tc: TrainConfig):
+    """Timestep indices per sample under tc.timestep_sampling."""
+    if tc.timestep_sampling == "logit_normal":
+        u = jax.nn.sigmoid(
+            jax.random.normal(key, (B,)) * tc.logit_std + tc.logit_mean)
+        return jnp.clip((u * tc.num_train_timesteps).astype(jnp.int32),
+                        0, tc.num_train_timesteps - 1)
+    assert tc.timestep_sampling == "uniform", tc.timestep_sampling
+    return jax.random.randint(key, (B,), 0, tc.num_train_timesteps)
 
 
 def _trainable_mask(params, filters):
@@ -114,7 +131,7 @@ def make_train_step(
         B = latents.shape[0]
         k_t, k_n, k_cfg = jax.random.split(rng, 3)
 
-        tid = jax.random.randint(k_t, (B,), 0, tc.num_train_timesteps)
+        tid = _sample_timestep_ids(k_t, B, tc)
         t = flow.timesteps[tid]
         noise = jax.random.normal(k_n, latents.shape, jnp.float32)
         noisy = flow.add_noise(latents, noise, t)
@@ -199,7 +216,7 @@ def make_unified_train_step(
         B = latents.shape[0]
         k_t, k_n, k_cfg = jax.random.split(rng, 3)
 
-        tid = jax.random.randint(k_t, (B,), 0, tc.num_train_timesteps)
+        tid = _sample_timestep_ids(k_t, B, tc)
         t = flow.timesteps[tid]
         noise = jax.random.normal(k_n, latents.shape, jnp.float32)
         noisy = flow.add_noise(latents, noise, t)

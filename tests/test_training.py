@@ -720,3 +720,23 @@ def test_grad_accumulation_matches_large_batch():
 
     np.testing.assert_allclose(np.asarray(p_acc["w"]), np.asarray(p_ref["w"]),
                                rtol=1e-6)
+
+
+def test_logit_normal_timestep_sampling():
+    """SD3-style logit-normal density (reference weighting_scheme,
+    omnivideo_mixed_task_1_3B.yaml:54-57): mid-noise concentration, valid
+    index range, and the train step runs under it."""
+    from omnivideo_tpu.training.trainer import TrainConfig, _sample_timestep_ids
+
+    tc = TrainConfig(timestep_sampling="logit_normal", logit_mean=0.0,
+                     logit_std=1.0, num_train_timesteps=1000)
+    ids = np.asarray(_sample_timestep_ids(jax.random.PRNGKey(0), 4096, tc))
+    assert ids.min() >= 0 and ids.max() < 1000
+    # sigmoid(N(0,1)) concentrates mass at the middle: the central half
+    # [250, 750) must hold well over its uniform share (50%)
+    frac_mid = np.mean((ids >= 250) & (ids < 750))
+    assert frac_mid > 0.6, frac_mid
+
+    tcu = TrainConfig(timestep_sampling="uniform", num_train_timesteps=1000)
+    idu = np.asarray(_sample_timestep_ids(jax.random.PRNGKey(0), 4096, tcu))
+    assert 0.45 < np.mean((idu >= 250) & (idu < 750)) < 0.55

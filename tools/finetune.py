@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="accumulate grads over N micro-batches per update "
                         "(reference gradient_accumulation_steps)")
+    p.add_argument("--timestep_sampling", default="uniform",
+                   choices=["uniform", "logit_normal"],
+                   help="timestep density (reference weighting_scheme)")
+    p.add_argument("--logit_mean", type=float, default=0.0)
+    p.add_argument("--logit_std", type=float, default=1.0)
     p.add_argument("--flow_shift", type=float, default=3.0)
     p.add_argument("--cfg_dropout", type=float, default=0.2)
     p.add_argument("--save_interval", type=int, default=500)
@@ -131,6 +136,9 @@ def main():
         cfg_dropout=args.cfg_dropout,
         trainable_filters=tuple(args.trainable),
         grad_accum_steps=args.grad_accum_steps,
+        timestep_sampling=args.timestep_sampling,
+        logit_mean=args.logit_mean,
+        logit_std=args.logit_std,
     )
 
     # ---- data: per-task loaders, weighted round-robin -----------------------
