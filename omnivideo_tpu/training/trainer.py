@@ -54,9 +54,10 @@ class TrainConfig:
     # timestep density (reference weighting_scheme, yaml:54-57): "uniform"
     # or SD3-style "logit_normal" — u = sigmoid(N(mean, std)), concentrating
     # samples at mid-noise levels
-    timestep_sampling: str = "uniform"
+    timestep_sampling: str = "uniform"  # | "logit_normal" | "mode"
     logit_mean: float = 0.0
     logit_std: float = 1.0
+    mode_scale: float = 1.29  # "mode" scheme sharpness (yaml:57)
     # path-substring predicates for freezing (reference finetune_model.py:560-586)
     trainable_filters: tuple = ()  # empty = train everything
 
@@ -66,6 +67,13 @@ def _sample_timestep_ids(key, B, tc: TrainConfig):
     if tc.timestep_sampling == "logit_normal":
         u = jax.nn.sigmoid(
             jax.random.normal(key, (B,)) * tc.logit_std + tc.logit_mean)
+        return jnp.clip((u * tc.num_train_timesteps).astype(jnp.int32),
+                        0, tc.num_train_timesteps - 1)
+    if tc.timestep_sampling == "mode":
+        # SD3 "mode" density: u' = 1 - u - s·(cos²(πu/2) − 1 + u)
+        u = jax.random.uniform(key, (B,))
+        u = 1.0 - u - tc.mode_scale * (
+            jnp.cos(jnp.pi * u / 2) ** 2 - 1.0 + u)
         return jnp.clip((u * tc.num_train_timesteps).astype(jnp.int32),
                         0, tc.num_train_timesteps - 1)
     assert tc.timestep_sampling == "uniform", tc.timestep_sampling

@@ -740,3 +740,14 @@ def test_logit_normal_timestep_sampling():
     tcu = TrainConfig(timestep_sampling="uniform", num_train_timesteps=1000)
     idu = np.asarray(_sample_timestep_ids(jax.random.PRNGKey(0), 4096, tcu))
     assert 0.45 < np.mean((idu >= 250) & (idu < 750)) < 0.55
+
+
+def test_mode_timestep_sampling_valid():
+    from omnivideo_tpu.training.trainer import TrainConfig, _sample_timestep_ids
+
+    tc = TrainConfig(timestep_sampling="mode", mode_scale=1.29,
+                     num_train_timesteps=1000)
+    ids = np.asarray(_sample_timestep_ids(jax.random.PRNGKey(1), 4096, tc))
+    assert ids.min() >= 0 and ids.max() < 1000
+    # mode sampling also concentrates away from the uniform edges
+    assert np.mean((ids >= 250) & (ids < 750)) > 0.5

@@ -43,7 +43,7 @@ def parse_args():
                    help="accumulate grads over N micro-batches per update "
                         "(reference gradient_accumulation_steps)")
     p.add_argument("--timestep_sampling", default="uniform",
-                   choices=["uniform", "logit_normal"],
+                   choices=["uniform", "logit_normal", "mode"],
                    help="timestep density (reference weighting_scheme)")
     p.add_argument("--logit_mean", type=float, default=0.0)
     p.add_argument("--logit_std", type=float, default=1.0)
