@@ -86,9 +86,17 @@ def init_wan_dit(key: jax.Array, cfg: WanDiTConfig, dtype=jnp.bfloat16):
         },
     }
 
-    def init_block(bkey):
-        ks = iter(jax.random.split(bkey, 12))
-        blk = {
+    bkeys = jax.random.split(next(keys), cfg.num_layers)
+    params["blocks"] = jax.vmap(lambda k: _init_block_f32(k, cfg))(bkeys)
+
+    return cast_wan_params(params, dtype)
+
+
+def _init_block_f32(bkey, cfg: WanDiTConfig):
+    """One WanAttentionBlock's parameters, f32 (pre-cast)."""
+    d, fd = cfg.dim, cfg.ffn_dim
+    ks = iter(jax.random.split(bkey, 12))
+    blk = {
             "modulation": jax.random.normal(next(ks), (6, d), jnp.float32) / d**0.5,
             "self_attn": {
                 "q": _linear(next(ks), d, d),
@@ -111,17 +119,19 @@ def init_wan_dit(key: jax.Array, cfg: WanDiTConfig, dtype=jnp.bfloat16):
                 "fc2": _linear(next(ks), fd, d),
             },
         }
-        if cfg.cross_attn_norm:
-            blk["norm3"] = {
-                "scale": jnp.ones((d,), jnp.float32),
-                "bias": jnp.zeros((d,), jnp.float32),
-            }
-        return blk
+    if cfg.cross_attn_norm:
+        blk["norm3"] = {
+            "scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32),
+        }
+    return blk
 
-    bkeys = jax.random.split(next(keys), cfg.num_layers)
-    params["blocks"] = jax.vmap(init_block)(bkeys)
 
-    return cast_wan_params(params, dtype)
+def init_wan_block(key: jax.Array, cfg: WanDiTConfig, dtype=jnp.bfloat16):
+    """Single-block init (for per-block benchmarking of models too large to
+    materialize whole — e.g. one A14B block is ~0.6 GB bf16 and fits a chip
+    the full 40-layer model does not)."""
+    return cast_wan_params(_init_block_f32(key, cfg), dtype)
 
 
 def cast_wan_params(params, dtype):

@@ -329,8 +329,13 @@ class OmniVideoX2XUnified:
             state = run(expert.wan, state, coeffs_seg, mixed2, jnp.float32(g))
             # force the segment: block_until_ready is a NO-OP under the axon
             # TPU plugin, so without a scalar readback the walltime logs (and
-            # any caller timing generate()) measure dispatch, not execution
-            assert np.isfinite(float(jnp.sum(state.x))), "non-finite latents"
+            # any caller timing generate()) measure dispatch, not execution.
+            # Must not be an assert: `python -O` would strip the load-bearing
+            # readback along with the finiteness check.
+            seg_sum = float(jnp.sum(state.x))
+            if not np.isfinite(seg_sum):
+                raise FloatingPointError(
+                    f"non-finite latents after denoise steps [{a}:{b})")
             log.info("denoise segment steps[%d:%d) took %.2fs (guide %.1f)",
                      a, b, _time.perf_counter() - t_seg, g)
 
