@@ -59,8 +59,8 @@ def score_open(prediction: str, truth: str) -> bool:
     return p == t or p.startswith(t + " ") or (p.split(" ") or [""])[0] == t
 
 
-def score_mc(prediction: str, truth: str) -> bool:
-    return _extract_choice_letter(prediction) == str(truth).strip().upper()
+def score_mc(prediction: str, truth: str, n_options: int = 5) -> bool:
+    return _extract_choice_letter(prediction, n_options) == str(truth).strip().upper()
 
 
 def score_vqa_soft(prediction: str, answers: List[str]) -> float:
@@ -120,7 +120,10 @@ def score_anls(prediction: str, truth_list: List[str],
 def score_row(row: Dict, prediction: str) -> float:
     mode = row.get("mode", "open")
     if mode == "mc":
-        return float(score_mc(prediction, row["answer"]))
+        # use the row's real option count — MMMU has up to 9 options, and a
+        # fixed A–E window could never score F–I correct (ADVICE r2)
+        n_opts = max(len(row.get("options") or ()), 5)
+        return float(score_mc(prediction, row["answer"], n_opts))
     if mode == "vqa_soft":
         return score_vqa_soft(prediction, row.get("answers") or [row.get("answer", "")])
     if mode == "relaxed":

@@ -26,14 +26,26 @@ def explicit_cli_dests(parser: argparse.ArgumentParser,
                        argv: Optional[Iterable[str]] = None) -> set:
     """Dests of options the user actually typed on the command line."""
     argv = list(sys.argv[1:] if argv is None else argv)
-    given = set()
-    for a in argv:
-        if a.startswith("--"):
-            given.add(a.split("=", 1)[0])
-    dests = set()
+    opt_to_dest = {}
     for action in parser._actions:
-        if any(opt in given for opt in action.option_strings):
-            dests.add(action.dest)
+        for opt in action.option_strings:
+            opt_to_dest[opt] = action.dest
+    dests = set()
+    for a in argv:
+        if not a.startswith("-"):
+            continue
+        tok = a.split("=", 1)[0]
+        if tok in opt_to_dest:
+            dests.add(opt_to_dest[tok])
+        elif tok.startswith("--"):
+            # argparse accepts unambiguous long-option prefixes (`--total`
+            # for --total_steps); without resolving them here a YAML value
+            # would silently override a flag the user actually typed
+            # (ADVICE r2)
+            matches = {d for o, d in opt_to_dest.items()
+                       if o.startswith("--") and o.startswith(tok)}
+            if len(matches) == 1:
+                dests.add(next(iter(matches)))
     return dests
 
 

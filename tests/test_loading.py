@@ -318,3 +318,13 @@ def test_serve_handler_generates(tmp_path):
     })
     assert out["id"] == "t1" and P(out["path"]).exists()
     assert out["latency_s"] > 0
+
+    # a hostile request id must not escape --output_dir (ADVICE r2: path
+    # traversal); the written file gets a server-generated id instead
+    evil = srv.handle_generate({
+        "id": "../../evil", "context": [[0.1] * 48], "size": [64, 32],
+        "frame_num": 9, "sampling_steps": 2, "seed": 5,
+    })
+    written = P(evil["path"]).resolve()
+    assert str(written).startswith(str(P(str(tmp_path)).resolve()))
+    assert evil["file_id"] != "../../evil"

@@ -651,6 +651,14 @@ def test_run_config_yaml_tier(tmp_path):
     with pytest.raises(SystemExit):
         apply_yaml_config(args2, p, ["--config", str(bad)])
 
+    # argparse prefix abbreviations count as explicitly typed (ADVICE r2):
+    # `--total 77` abbreviates --total_steps, so YAML must not clobber it
+    argv3 = ["--config", str(cfgf), "--total", "77"]
+    args3 = p.parse_args(argv3)
+    args3 = apply_yaml_config(args3, p, argv3)
+    assert args3.total_steps == 77
+    assert args3.lr == 1e-4  # YAML still applies to untyped flags
+
 
 def test_mixture_dataset_weights(tmp_path):
     """MixtureDataset: weight>1 repeats a source, weight<1 subsamples, and

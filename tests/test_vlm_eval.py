@@ -183,6 +183,14 @@ def test_mc_scoring_letter_extraction():
     assert not vqa.score_mc("Absolutely", "A")  # no standalone letter
     assert not vqa.score_mc("B", "C")
 
+    # MMMU rows can have up to 9 options: score_row must widen the letter
+    # window to the row's real option count (ADVICE r2: fixed A-E deflated
+    # accuracy for F-I answers)
+    row = {"mode": "mc", "answer": "G",
+           "options": [f"{c}. opt" for c in "ABCDEFGHI"]}
+    assert vqa.score_row(row, "The answer is G.") == 1.0
+    assert vqa.score_row(row, "H") == 0.0
+
 
 def test_vqa_soft_consensus():
     from omnivideo_tpu.eval import vqa

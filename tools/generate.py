@@ -28,7 +28,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def parse_args():
     p = argparse.ArgumentParser(description="omnivideo_tpu unified x2x generation")
     p.add_argument("--task", default="t2v-1.3B", help="config key from WAN_CONFIGS")
-    p.add_argument("--size", default="832*480")
+    p.add_argument("--size", default=None,
+                   help="W*H or a SIZE_CONFIGS key (default 832*480; "
+                        "--tiny defaults to 64*32)")
     p.add_argument("--frame_num", type=int, default=None)
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--input", required=True, help="JSONL input file")
@@ -117,6 +119,13 @@ def main():
             vae=cfg.vae.__class__(dim=8, z_dim=16, num_res_blocks=1),
             max_context_len=64,
         )
+        # bare `--tiny` must be a usable smoke: shrink the workload too,
+        # unless the user explicitly asked for specific sizes (a tiny model
+        # at full 832*480·81f seq 32,760 takes >7 min of XLA attention on CPU)
+        args.size = args.size or "64*32"
+        args.frame_num = args.frame_num or 9
+        args.sample_steps = args.sample_steps or 2
+    args.size = args.size or "832*480"
     size = SIZE_CONFIGS[args.size] if args.size in SIZE_CONFIGS else tuple(
         int(v) for v in args.size.split("*")
     )

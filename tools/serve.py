@@ -26,6 +26,7 @@ one-process-per-chip execution model); a lock keeps concurrent POSTs safe.
 import argparse
 import json
 import logging
+import re
 import sys
 import threading
 import time
@@ -106,8 +107,13 @@ class Server:
 
         if "context" in req:
             ctx = jnp.asarray(np.asarray(req["context"], np.float32))
+            ctx_null = jnp.zeros_like(ctx)  # client sent features; no encoder assumed
         elif self.pipe.text_encoder is not None:
             ctx = self.pipe.text_encoder([req.get("prompt", "")])[0]
+            # None → generate() encodes the default negative prompt, matching
+            # the CLI path (tools/generate.py); zeros here would silently
+            # change CFG output for the same request (ADVICE r2)
+            ctx_null = None
         else:
             raise ValueError("no text encoder attached; POST a precomputed "
                              "'context' [[L, text_dim]] instead of 'prompt'")
@@ -116,15 +122,20 @@ class Server:
         with self.lock:  # one TPU program at a time
             video = self.pipe.generate(
                 precomputed_context=ctx,
-                precomputed_context_null=jnp.zeros_like(ctx),
+                precomputed_context_null=ctx_null,
                 size=size, frame_num=frame_num, sampling_steps=steps,
                 guide_scale=guide, seed=seed, decode=True,
                 max_steps_per_call=self.args.max_steps_per_call,
                 vae_dtype=vae_dtype,
             )
-        rid = req.get("id") or uuid.uuid4().hex[:10]
+        # the client id is echoed back but NEVER used in the filesystem path
+        # unless it is a plain token — "../../x" must not escape --output_dir
+        # (ADVICE r2: path traversal on the HTTP surface)
+        client_id = str(req.get("id") or "")
+        rid = client_id if re.fullmatch(r"[A-Za-z0-9_-]{1,64}", client_id) \
+            else uuid.uuid4().hex[:10]
         path = save_video(str(self.outdir / f"{rid}.mp4"), np.asarray(video))
-        return {"id": rid, "path": str(path),
+        return {"id": client_id or rid, "file_id": rid, "path": str(path),
                 "latency_s": round(time.perf_counter() - t0, 2)}
 
 
