@@ -6,10 +6,11 @@ with ×5 retry, `cache_image`) and the decord-based reader in
 center-crop + resize + normalize to [-1, 1]).
 
 This image has no ffmpeg/decord/pyav, so writers/readers dispatch across
-backends: imageio-ffmpeg/pyav mp4 when importable, else GIF via PIL, else raw
-.npz — and readers accept .mp4 (if a backend exists), .gif, .npz/.npy, or a
-directory of PNG frames. The fallback formats keep the full pipeline runnable
-(and benchable) in codec-less environments.
+backends: imageio-ffmpeg/pyav mp4 when importable, else MJPEG-in-AVI via the
+pure-Python muxer in `avi.py` (playable in standard players), else GIF via
+PIL, else raw .npz — and readers accept .mp4 (if a backend exists), .avi,
+.gif, .npz/.npy, or a directory of PNG frames. The fallback formats keep the
+full pipeline runnable (and benchable) in codec-less environments.
 """
 
 from __future__ import annotations
@@ -88,6 +89,16 @@ def save_video(
                     for fr in frames:
                         w.append_data(fr)
                 return path
+            if path.endswith(".avi") or (path.endswith(".mp4") and not _mp4_available()):
+                # preferred codec-less fallback: MJPEG-in-AVI (pure-Python
+                # muxer, frames are baseline JPEGs) — standard players open
+                # it, unlike .npz; GIF remains only for explicit .gif
+                from .avi import write_mjpeg_avi
+
+                out = os.path.splitext(path)[0] + ".avi"
+                if out != path:
+                    log.warning("no mp4 backend; writing MJPEG AVI %s", out)
+                return write_mjpeg_avi(out, frames, fps=fps)
             # GIF fallback via PIL (always available)
             out = path if path.endswith(".gif") else os.path.splitext(path)[0] + ".gif"
             if out != path:
@@ -137,6 +148,10 @@ def read_video_frames(
 
         frames = np.stack([np.asarray(Image.open(f).convert("RGB")) for f in files])
         fps = 16.0
+    elif p.suffix == ".avi":
+        from .avi import read_mjpeg_avi
+
+        frames, fps = read_mjpeg_avi(str(p))
     elif p.suffix == ".gif":
         from PIL import Image, ImageSequence
 

@@ -29,11 +29,48 @@ def test_video_roundtrip_npz(tmp_path):
 def test_video_gif_fallback(tmp_path):
     # varying frames (PIL's GIF writer collapses identical frames)
     v = np.linspace(-1, 1, 3 * 4 * 8 * 8, dtype=np.float32).reshape(3, 4, 8, 8)
-    out = save_video(str(tmp_path / "clip.mp4"), v, fps=8)
-    # codec-less env falls back to gif (or writes mp4 if a backend exists)
-    assert out.endswith((".gif", ".mp4"))
+    out = save_video(str(tmp_path / "clip.gif"), v, fps=8)
+    assert out.endswith(".gif")
     frames, _ = read_video_frames(out)
     assert frames.shape[0] == 4
+
+
+def test_video_mp4_fallback_is_playable_avi(tmp_path):
+    """In a codec-less env, an .mp4 request becomes an MJPEG AVI a standard
+    player can open (reference writes mp4 via libx264, utils.py:160-198)."""
+    v = np.random.default_rng(0).uniform(-1, 1, (3, 5, 32, 48)).astype(np.float32)
+    out = save_video(str(tmp_path / "clip.mp4"), v, fps=12)
+    assert out.endswith((".avi", ".mp4"))
+    frames, fps = read_video_frames(out)
+    assert frames.shape == (5, 32, 48, 3)
+    assert abs(fps - 12) < 0.5
+
+
+def test_mjpeg_avi_container_structure(tmp_path):
+    """RIFF/AVI header invariants + frame count + JPEG fidelity."""
+    import struct
+
+    from omnivideo_tpu.utils.avi import read_mjpeg_avi, write_mjpeg_avi
+
+    rng = np.random.default_rng(1)
+    # smooth frames (JPEG is lossy; gradients survive quality 92 well)
+    base = np.linspace(0, 255, 64 * 48, dtype=np.float32).reshape(48, 64)
+    frames = np.stack(
+        [np.stack([np.roll(base, i * 3, axis=1)] * 3, -1) for i in range(7)]
+    ).astype(np.uint8)
+    path = write_mjpeg_avi(str(tmp_path / "c.avi"), frames, fps=16)
+
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+    (riff_size,) = struct.unpack("<I", raw[4:8])
+    assert riff_size == len(raw) - 8  # size field consistent
+    assert b"MJPG" in raw[:200] and b"vids" in raw[:200]
+    assert raw.count(b"00dc") == 7 * 2  # one movi chunk + one idx1 entry each
+
+    back, fps = read_mjpeg_avi(path)
+    assert back.shape == frames.shape and abs(fps - 16) < 0.5
+    err = np.abs(back.astype(np.float32) - frames.astype(np.float32)).mean()
+    assert err < 6.0, f"JPEG round-trip too lossy: {err}"
 
 
 def test_sample_and_transform():
