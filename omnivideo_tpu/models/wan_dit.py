@@ -208,7 +208,9 @@ class SPConfig:
     sharding chosen by config.
 
     mode: 'ulysses' (all_to_all head-scatter, C14), 'ring' (ppermute K/V
-    rotation, P11), or 'hybrid' (2-D Ulysses×ring, P10).
+    rotation, P11), 'hybrid' (2-D Ulysses×ring, P10), or 'tp' (head-sharded
+    attention over the 'tensor' axis — keeps the Pallas flash kernel usable
+    under tensor parallelism, where GSPMD alone would force the XLA path).
     """
 
     mesh: Any
@@ -216,9 +218,12 @@ class SPConfig:
     seq_axis: str = "seq"
     ulysses_axis: str = "fsdp"  # inner axis for hybrid
     ring_impl: str = "ppermute"  # "ppermute" (differentiable) | "pallas" (fused RDMA, fwd-only)
+    tp_axis: str = "tensor"
 
     @property
     def sp_size(self) -> int:
+        if self.mode == "tp":
+            return 1  # tp shards heads, not sequence
         n = self.mesh.shape[self.seq_axis]
         if self.mode == "hybrid":
             n *= self.mesh.shape[self.ulysses_axis]
@@ -264,6 +269,11 @@ def wan_block_apply(
     sp = aux.sp
     if sp is None:
         o = attention(q, k, v, kv_lens=aux.kv_lens, impl=attn_impl)
+    elif sp.mode == "tp":
+        from ..parallel.tp import tp_head_attention
+
+        o = tp_head_attention(q, k, v, sp.mesh, axis=sp.tp_axis,
+                              kv_lens=aux.kv_lens, impl=attn_impl)
     elif sp.mode == "ulysses":
         from ..parallel.ulysses import ulysses_attention
 
@@ -296,6 +306,17 @@ def wan_block_apply(
         xn = x
     ca = bp["cross_attn"]
     ctx = aux.context
+    if sp is not None and sp.mode == "tp":
+        from ..parallel.tp import tp_head_attention
+
+        def _xattn(q, k, v):
+            return tp_head_attention(q, k, v, sp.mesh, axis=sp.tp_axis,
+                                     impl=attn_impl)
+    else:
+        def _xattn(q, k, v):
+            # context_lens=None in reference (model.py:479): attend over
+            # the full padded ctx
+            return attention(q, k, v, kv_lens=None, impl=attn_impl)
     xq = xn.astype(pdtype)
     q = rms_norm(_dense(ca["q"], xq), ca["norm_q"], cfg.eps).reshape(B, L, N, hd)
     if "k_img" in ca:
@@ -307,14 +328,13 @@ def wan_block_apply(
         vv = _dense(ca["v"], ctx_txt).reshape(B, Lt, N, hd)
         ki = rms_norm(_dense(ca["k_img"], ctx_img), ca["norm_k_img"], cfg.eps).reshape(B, Li, N, hd)
         vi = _dense(ca["v_img"], ctx_img).reshape(B, Li, N, hd)
-        o = attention(q, kk, vv, kv_lens=None, impl=attn_impl).reshape(B, L, d)
-        o = o + attention(q, ki, vi, kv_lens=None, impl=attn_impl).reshape(B, L, d)
+        o = _xattn(q, kk, vv).reshape(B, L, d)
+        o = o + _xattn(q, ki, vi).reshape(B, L, d)
     else:
         Lc = ctx.shape[1]
         kk = rms_norm(_dense(ca["k"], ctx), ca["norm_k"], cfg.eps).reshape(B, Lc, N, hd)
         vv = _dense(ca["v"], ctx).reshape(B, Lc, N, hd)
-        # context_lens=None in reference (model.py:479): attend over full padded ctx
-        o = attention(q, kk, vv, kv_lens=None, impl=attn_impl).reshape(B, L, d)
+        o = _xattn(q, kk, vv).reshape(B, L, d)
     o = _dense(ca["o"], o)
     x = x + o.astype(jnp.float32)
 

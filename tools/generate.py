@@ -148,9 +148,16 @@ def main():
                            tp=args.tp_size)
         if args.sp_size > 1:
             sp = SPConfig(mesh=mesh, mode=args.sp_mode, ring_impl=args.ring_impl)
-        if args.tp_size > 1 and args.attn_impl != "xla":
-            logging.info("tp_size>1: forcing attn_impl=xla (GSPMD-partitionable)")
-            args.attn_impl = "xla"
+            if args.tp_size > 1 and args.attn_impl != "xla":
+                # SP already shards heads across 'seq'; composing a second
+                # head split over 'tensor' is not wired — only then fall
+                # back to the GSPMD-partitionable XLA path
+                logging.info("sp_size>1 with tp_size>1: forcing attn_impl=xla")
+                args.attn_impl = "xla"
+        elif args.tp_size > 1:
+            # head-sharded shard_map keeps the Pallas flash kernel usable
+            # under tensor parallelism (parallel/tp.py)
+            sp = SPConfig(mesh=mesh, mode="tp")
 
     if args.random_weights:
         pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl=args.attn_impl)
