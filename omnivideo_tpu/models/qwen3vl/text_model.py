@@ -319,6 +319,38 @@ def qwen3_greedy_decode(
 # ---------------------------------------------------------------------------
 
 
+def abstract_params(cfg: Qwen3TextConfig, dtype=jnp.bfloat16):
+    """ShapeDtypeStruct pytree matching `hf_to_params` output — for sharded
+    compile checks of configs too large to materialize (30B-A3B exceeds one
+    chip's HBM; reference serves it via vLLM GPU sharding,
+    vllm_model.py:24-103)."""
+    D, V, nl = cfg.hidden_size, cfg.vocab_size, cfg.num_hidden_layers
+    N, K, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    s = lambda *shape: jax.ShapeDtypeStruct(shape, dtype)
+    lp = {
+        "ln1": s(nl, D),
+        "ln2": s(nl, D),
+        "attn": {
+            "q": s(nl, D, N * hd), "k": s(nl, D, K * hd), "v": s(nl, D, K * hd),
+            "o": s(nl, N * hd, D), "q_norm": s(nl, hd), "k_norm": s(nl, hd),
+        },
+    }
+    if cfg.num_experts:
+        E, M = cfg.num_experts, cfg.moe_intermediate_size
+        lp["mlp"] = {
+            "gate": s(nl, D, E),
+            "experts": {"gate": s(nl, E, D, M), "up": s(nl, E, D, M),
+                        "down": s(nl, E, M, D)},
+        }
+    else:
+        M = cfg.intermediate_size
+        lp["mlp"] = {"gate": s(nl, D, M), "up": s(nl, D, M), "down": s(nl, M, D)}
+    params = {"embed": s(V, D), "layers": lp, "norm": s(D)}
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = s(D, V)
+    return params
+
+
 def hf_to_params(sd: Dict[str, Any], cfg: Qwen3TextConfig):
     """HF Qwen3/Qwen3Moe state_dict (numpy) → pytree."""
     g = lambda k: np.asarray(sd[k])

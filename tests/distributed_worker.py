@@ -44,8 +44,8 @@ def main():
     local = jnp.ones((jax.local_device_count(),), jnp.float32)
     garr = multihost_utils.host_local_array_to_global_array(local, mesh, P("d"))
     total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
-    total = float(multihost_utils.process_allgather(total)[0])
-    assert total == 2 * nproc, total
+    # fully-replicated output is fully addressable on every process
+    assert float(total) == 2 * nproc, float(total)
 
     # host-0 broadcast (the seed-sync primitive generate() relies on)
     got = int(multihost_utils.broadcast_one_to_all(
