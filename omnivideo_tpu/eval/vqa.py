@@ -130,6 +130,10 @@ def score_row(row: Dict, prediction: str) -> float:
         return float(score_relaxed(prediction, str(row.get("answer", ""))))
     if mode == "anls":
         return score_anls(prediction, row.get("answers") or [row.get("answer", "")])
+    if mode == "grounding":
+        from .grounding import score_grounding
+
+        return score_grounding(prediction, row["answer"])
     return float(score_open(prediction, str(row.get("answer", row.get("label", "")))))
 
 
@@ -316,6 +320,12 @@ ADAPTERS: Dict[str, Callable[[Dict], Dict]] = {
     "vizwiz": adapt_vizwiz,
 }
 
+# grounding lives in eval/grounding.py (refcoco family; reference
+# eval_refcoco.py) but plugs into the same registry/scorer
+from .grounding import adapt_refcoco  # noqa: E402
+
+ADAPTERS["refcoco"] = adapt_refcoco
+
 
 def adapt_rows(rows: List[Dict], fmt: str) -> List[Dict]:
     try:
@@ -426,4 +436,8 @@ def evaluate(rows: List[Dict], answer_fn: Callable[[Dict], str],
         summary["pope"] = pope_metrics(results)
     if fmt == "mme":
         summary["mme_score"] = mme_scores(results)
+    if fmt == "refcoco":
+        from .grounding import grounding_accuracy
+
+        summary["grounding"] = grounding_accuracy(results)
     return results, summary

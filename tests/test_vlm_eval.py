@@ -338,3 +338,86 @@ def test_gqa_vizwiz_adapters():
     assert v["mode"] == "vqa_soft" and "Unanswerable" in v["text"]
     assert vqa.score_row(v, "unanswerable") == 1.0  # 6 >= 3 annotators
     assert vqa.score_row(v, "soda") == 1.0          # 4 >= 3
+
+
+def test_grounding_iou_and_parse():
+    """refcoco-style grounding: IoU convention matches the reference's
+    inclusive-pixel computeIoU (eval_refcoco.py:9-21) and box parsing
+    tolerates the common answer surface forms."""
+    from omnivideo_tpu.eval.grounding import box_iou, parse_box, score_grounding
+
+    assert box_iou([0, 0, 9, 9], [0, 0, 9, 9]) == 1.0
+    # inclusive convention: [0,0,9,9] is a 10x10 box
+    iou = box_iou([0, 0, 9, 9], [5, 0, 14, 9])
+    assert abs(iou - (50 / 150)) < 1e-9
+    assert box_iou([0, 0, 4, 4], [10, 10, 20, 20]) == 0.0
+
+    assert parse_box("[10, 20, 50, 90]") == [10, 20, 50, 90]
+    assert parse_box("(10,20),(50,90)") == [10, 20, 50, 90]
+    assert parse_box("box: x1=50 y1=90 x2=10 y2=20") == [10, 20, 50, 90]  # reorders
+    assert parse_box("no box here") is None
+
+    assert score_grounding("[0, 0, 9, 9]", [0, 0, 9, 9]) == 1.0
+    assert score_grounding("[100, 100, 109, 109]", [0, 0, 9, 9]) == 0.0
+    assert score_grounding("cannot locate", [0, 0, 9, 9]) == 0.0
+
+
+def test_refcoco_adapter_end_to_end():
+    """refcoco rows through the shared evaluate() harness with a perfect and
+    an off-target answerer → acc@0.5 aggregates."""
+    from omnivideo_tpu.eval import vqa
+
+    rows = vqa.adapt_rows(
+        [
+            {"img_id": "a", "bbox": [10, 10, 20, 30], "sents": "the red cup"},
+            {"img_id": "b", "bbox": [0, 0, 50, 50], "sents": "left dog",
+             "dataset": "refcoco+"},
+        ],
+        "refcoco",
+    )
+    assert rows[0]["mode"] == "grounding"
+    assert rows[0]["answer"] == [10, 10, 30, 40]  # xywh -> xyxy
+
+    perfect = {r["question_id"]: str(r["answer"]) for r in rows}
+    results, summary = vqa.evaluate(
+        rows, lambda row: perfect[row["question_id"]], fmt="refcoco")
+    assert summary["grounding"]["acc@0.5"] == 1.0
+    results, summary = vqa.evaluate(rows, lambda row: "[900,900,910,910]",
+                                    fmt="refcoco")
+    assert summary["grounding"]["acc@0.5"] == 0.0
+    assert "refcoco+" in summary["grounding"]["per_category"]
+
+
+def test_pairwise_review_with_injected_judge():
+    """GPT-review-style pairwise judging with a stubbed judge callable —
+    score parsing + win/tie aggregation (eval_gpt_review.py roles)."""
+    from omnivideo_tpu.eval.pairwise import (
+        build_review_prompt, pairwise_review, parse_score_pair)
+
+    assert parse_score_pair("7 9\nAssistant 2 was better") == (7.0, 9.0)
+    assert parse_score_pair("7, 9\nbecause") == (7.0, 9.0)
+    assert parse_score_pair("I refuse") == (-1.0, -1.0)
+
+    p = build_review_prompt("What is shown?", "a cat", "a dog",
+                            context="A photo of a cat.")
+    assert "[Question]" in p and "[Assistant 2]" in p and "[Context]" in p
+
+    rows = [
+        {"question": "q1", "answer1": "short", "answer2": "detailed"},
+        {"question": "q2", "answer1": "right", "answer2": "wrong"},
+        {"question": "q3", "answer1": "same", "answer2": "same"},
+    ]
+    reviews = {"q1": "6 9\nmore detail", "q2": "8 3\nwrong",
+               "q3": "7 7\nequal"}
+
+    def judge(prompt):
+        for q, r in reviews.items():
+            if f"[Question]\n{q}" in prompt:
+                return r
+        raise AssertionError("question not found in prompt")
+
+    results, summary = pairwise_review(rows, judge)
+    assert summary["n_valid"] == 3
+    assert summary["win2"] == 1 and summary["loss2"] == 1 and summary["tie"] == 1
+    assert abs(summary["avg_score1"] - 7.0) < 1e-9
+    assert abs(summary["relative_score"] - (19 / 21)) < 1e-9
