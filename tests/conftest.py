@@ -21,3 +21,32 @@ os.environ.setdefault("INTRA_OP_PARALLELISM_THREADS", "1")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# slow-test triage (VERDICT r2 weak-8): the default suite must stay usable on
+# this 1-core box (~10 min). Tests marked `slow` (>~30 s each here) are
+# skipped unless --runslow is given; CI-complete runs use:
+#     python -m pytest tests/ -q --runslow
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >~30s on the 1-core CI box (enable with --runslow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow (use --runslow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -67,6 +67,7 @@ def test_i2v_dit_parity():
     np.testing.assert_allclose(np.asarray(out), g["out"], rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_wan_i2v_pipeline_smoke():
     """End-to-end WanI2V: first frame -> CLIP + mask/latent conditioning ->
     denoise -> decode (tiny random weights)."""

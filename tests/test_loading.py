@@ -76,6 +76,7 @@ def ckpt_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_load_pipeline_and_generate(ckpt_dir):
     pipe = load_pipeline(CFG, str(ckpt_dir), dtype=jnp.float32, attn_impl="xla")
     assert pipe.vae is not None
@@ -145,6 +146,7 @@ def test_omni_video_generator_t2v(ckpt_dir):
     assert video.shape == (3, 5, 16, 16)
 
 
+@pytest.mark.slow
 def test_hf_safetensors_reader_roundtrip(tmp_path):
     """io/hf_reader: direct safetensors read == torch state_dict, and the
     derived config drives a working forward."""
@@ -328,3 +330,39 @@ def test_serve_handler_generates(tmp_path):
     written = P(evil["path"]).resolve()
     assert str(written).startswith(str(P(str(tmp_path)).resolve()))
     assert evil["file_id"] != "../../evil"
+
+
+def test_reference_bundle_roundtrip():
+    """A COMPLETE bundle emitted by the torch reference itself
+    (tools/dev/make_golden_bundle.py: reference unified experts, VAE, T5
+    state_dicts in the documented layout) loads end-to-end and generates
+    across the dual-expert boundary. Exercises BOTH .pt unwrap wrappings
+    ('module' for high, 'model' for low — generate_omni_v2v.py:501-513) and
+    the bf16 T5 .pth through the torch-free reader (VERDICT r2 item 10)."""
+    bundle = GOLDEN / "bundle_tiny"
+    cfg = CFG.replace(dual_expert=True, boundary=0.9)
+    pipe = load_pipeline(cfg, str(bundle), dtype=jnp.float32, attn_impl="xla")
+    assert pipe.vae is not None and pipe.text_encoder is not None
+    assert pipe.high_noise is not pipe.low_noise  # both experts loaded
+    assert set(pipe.special_tokens) == {"<img_st>", "<img_ed>",
+                                        "<prp_st>", "<prp_ed>"}
+
+    # bf16 round trip: T5 weights arrived via the torch-free bf16 zip reader
+    from omnivideo_tpu.models.t5 import t5_encode
+
+    ids = jnp.arange(8, dtype=jnp.int32)[None] % cfg.t5.vocab_size
+    enc = t5_encode(pipe.text_encoder.params, cfg.t5, ids,
+                    jnp.ones((1, 8), jnp.int32))
+    assert enc.shape == (1, 8, 48) and bool(jnp.isfinite(enc).all())
+
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((10, 48)), jnp.float32) * 0.1
+    video = pipe.generate(
+        precomputed_context=ctx,
+        precomputed_context_null=jnp.zeros_like(ctx),
+        size=(16, 16), frame_num=5, sampling_steps=4,  # crosses boundary:
+        guide_scale=(3.0, 4.0),                        # both experts run
+        seed=0,
+    )
+    assert video.shape == (3, 5, 16, 16)
+    assert np.isfinite(video).all()

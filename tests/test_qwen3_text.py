@@ -91,6 +91,7 @@ def test_moe_forward_parity():
         np.asarray(logits), out.logits.numpy(), rtol=3e-3, atol=3e-3
     )
 
+@pytest.mark.slow
 def test_moe_grouped_matches_dense_oracle():
     """ragged_dot grouped-GEMM MoE == exact dense mixture, including uneven
     expert loads and batch dims."""
@@ -128,6 +129,7 @@ def test_moe_grouped_matches_dense_oracle():
     )
 
 
+@pytest.mark.slow
 def test_qwen3_forward_sp_matches_single_device():
     """Sequence-parallel forward (ring token-causal attention over a 4-device
     mesh) == the single-device forward, values and gradients."""

@@ -80,6 +80,7 @@ def _build_inputs(cfg, t=2, h=4, w=4, seed=1):
     return input_ids, pixel, grid
 
 
+@pytest.mark.slow
 def test_full_multimodal_parity(tiny):
     m, cfg = tiny
     input_ids, pixel, grid = _build_inputs(cfg)
@@ -121,6 +122,7 @@ def test_text_only_parity(tiny):
     )
 
 
+@pytest.mark.slow
 def test_multimodal_greedy_decode_parity(tiny):
     """JAX mrope KV-cache greedy decode == HF generate on a video prompt."""
     from omnivideo_tpu.models.qwen3vl.full_model import qwen3vl_greedy_decode
@@ -140,6 +142,7 @@ def test_multimodal_greedy_decode_parity(tiny):
     np.testing.assert_array_equal(ours, hf[0, input_ids.shape[1]:].numpy())
 
 
+@pytest.mark.slow
 def test_sampled_decode_runs(tiny):
     """top-p sampling path (reference caption defaults T=0.7 p=0.9) produces
     valid tokens and is deterministic per seed."""
@@ -160,6 +163,7 @@ def test_sampled_decode_runs(tiny):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_vlm_inference(tiny):
     """FSDP-sharded VLM params (deployment path for 30B-A3B > 1 chip HBM):
     sharded forward and greedy decode match unsharded."""

@@ -337,6 +337,7 @@ def test_ring_trainable_causal_gradients():
         )
 
 
+@pytest.mark.slow
 def test_ppermute_ring_token_causal():
     """ring_attention_local(causal="token") == dense causal, and is
     differentiable (the SP-LM training path)."""

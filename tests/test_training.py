@@ -64,6 +64,7 @@ def test_loader_host_sharding(data_root):
     assert not np.allclose(got0["latents"], got1["latents"])
 
 
+@pytest.mark.slow
 def test_unified_train_step_decreases_loss(data_root):
     ds = OmniVideoDataset(str(data_root))
     batch = {k: jnp.asarray(v) for k, v in collate([ds[i] for i in range(4)], PAD).items()}
@@ -128,6 +129,7 @@ def test_tar_shard_dataset(tmp_path, data_root):
     assert s["text_emb"].shape == (8, 48)
 
 
+@pytest.mark.slow
 def test_alignment_training_decreases_loss():
     """VisionHead+DM_Adapter alignment step (role of train_vila_vh)."""
     import optax
@@ -179,6 +181,7 @@ def test_prefetch_loader(data_root):
     np.testing.assert_allclose(a[0]["latents"], b[0]["latents"])
 
 
+@pytest.mark.slow
 def test_sft_step_lm_and_combined():
     """SFT step: loss decreases on a repeated batch; -100 masking honored;
     combined mode trains the alignment chain too."""

@@ -207,6 +207,7 @@ def test_batched_aligned_emb(golden):
     np.testing.assert_allclose(np.asarray(mb[0]), np.asarray(ms), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_unified_train_step_with_aligned_emb():
     """make_unified_train_step accepts the v1 dataset's aligned_emb key."""
     import jax

@@ -179,6 +179,7 @@ def test_chaos_call_faults():
     assert s.saved == 21 - failures
 
 
+@pytest.mark.slow
 def test_bench_phase_protocol_a14b():
     """bench.py --phase a14b (CPU compile check) emits the PHASE_JSON line
     the orchestrator merges — CI coverage for the driver-facing bench

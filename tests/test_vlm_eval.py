@@ -150,6 +150,7 @@ def vqa_fixture(tiny_ckpt_dir) -> Path:
     return qf
 
 
+@pytest.mark.slow
 def test_eval_vlm_end_to_end(tiny_ckpt_dir, vqa_fixture):
     rows = [json.loads(l) for l in open(vqa_fixture)]
     for r in rows:
