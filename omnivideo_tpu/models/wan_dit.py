@@ -268,12 +268,15 @@ def wan_block_apply(
     k = apply_rope(k, aux.rope_cos, aux.rope_sin)
     sp = aux.sp
     if sp is None:
-        o = attention(q, k, v, kv_lens=aux.kv_lens, impl=attn_impl)
+        # qk_norm bounds q/k row norms → bounded-softmax flash fast path
+        o = attention(q, k, v, kv_lens=aux.kv_lens, impl=attn_impl,
+                      assume_normalized=cfg.qk_norm)
     elif sp.mode == "tp":
         from ..parallel.tp import tp_head_attention
 
         o = tp_head_attention(q, k, v, sp.mesh, axis=sp.tp_axis,
-                              kv_lens=aux.kv_lens, impl=attn_impl)
+                              kv_lens=aux.kv_lens, impl=attn_impl,
+                              assume_normalized=cfg.qk_norm)
     elif sp.mode == "ulysses":
         from ..parallel.ulysses import ulysses_attention
 
@@ -311,12 +314,14 @@ def wan_block_apply(
 
         def _xattn(q, k, v):
             return tp_head_attention(q, k, v, sp.mesh, axis=sp.tp_axis,
-                                     impl=attn_impl)
+                                     impl=attn_impl,
+                                     assume_normalized=cfg.qk_norm)
     else:
         def _xattn(q, k, v):
             # context_lens=None in reference (model.py:479): attend over
             # the full padded ctx
-            return attention(q, k, v, kv_lens=None, impl=attn_impl)
+            return attention(q, k, v, kv_lens=None, impl=attn_impl,
+                             assume_normalized=cfg.qk_norm)
     xq = xn.astype(pdtype)
     q = rms_norm(_dense(ca["q"], xq), ca["norm_q"], cfg.eps).reshape(B, L, N, hd)
     if "k_img" in ca:

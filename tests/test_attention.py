@@ -120,3 +120,38 @@ def test_flash_packed_and_fallback_layouts_match():
         out = np.asarray(
             flash_attention(q, k, v, None, None, 128, 128, True), np.float32)
         np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
+
+
+def test_pallas_flash_bounded_softmax_matches_xla():
+    """assume_normalized=True (bounded softmax, no running max) == oracle —
+    exactness: subtracting the Cauchy-Schwarz log2 bound only shifts f32
+    exponents. Covers packed D=128, kv_lens masking, and cross-attn
+    single-kv-step shapes."""
+    rng = np.random.default_rng(11)
+
+    def mk(B, L, N, D, scale=1.0):
+        x = rng.standard_normal((B, L, N, D)).astype(np.float32) * scale
+        # qk-normed-like rows: normalize to |row| = sqrt(D)
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return jnp.asarray(x / n * np.sqrt(D))
+
+    # self-attention, multi-kv-step
+    q, k, v = mk(1, 512, 2, 128), mk(1, 512, 2, 128), mk(1, 512, 2, 128)
+    ref = attention_xla(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True,
+                          assume_normalized=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=2e-3)
+
+    # kv_lens masking (padded tail must not contribute)
+    lens = jnp.asarray([300], jnp.int32)
+    ref = attention_xla(q, k, v, kv_lens=lens)
+    out = flash_attention(q, k, v, kv_lens=lens, block_q=128, block_k=128,
+                          interpret=True, assume_normalized=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=2e-3)
+
+    # cross-attention single-kv-step form (small Lk spans one block)
+    kc, vc = mk(1, 256, 2, 128), mk(1, 256, 2, 128)
+    ref = attention_xla(q, kc, vc)
+    out = flash_attention(q, kc, vc, block_q=128, block_k=2048,
+                          interpret=True, assume_normalized=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=2e-3)
