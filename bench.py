@@ -367,7 +367,7 @@ def bench_qwen30b_compile():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from omnivideo_tpu.models.qwen3vl.text_model import (
-        Qwen3TextConfig, abstract_params, qwen3_forward)
+        Qwen3TextConfig, abstract_params, qwen3_forward, qwen3_greedy_decode)
     from omnivideo_tpu.parallel.mesh import create_mesh
     from omnivideo_tpu.parallel.sharding import params_shardings
 
@@ -391,7 +391,20 @@ def bench_qwen30b_compile():
     compiled = jax.jit(prefill, in_shardings=(p_sh, ids_sh)).lower(
         p_shapes, jax.ShapeDtypeStruct((1, 512), jnp.int32)).compile()
     assert compiled is not None
-    return time.perf_counter() - t0
+    prefill_s = time.perf_counter() - t0
+    _phase_emit({"qwen30b_fsdp8_compile_s": round(prefill_s, 1)})
+
+    # the full prefill+decode loop (layers + tokens both lax.scan'd) also
+    # compiles at 48-layer scale — the serving program, not just one forward
+    t0 = time.perf_counter()
+    dec = jax.jit(
+        lambda p, ids: qwen3_greedy_decode(p, cfg, ids, 16),
+        in_shardings=(p_sh, ids_sh),
+    ).lower(p_shapes, jax.ShapeDtypeStruct((1, 512), jnp.int32)).compile()
+    assert dec is not None
+    _phase_emit({"qwen30b_fsdp8_decode_compile_s":
+                 round(time.perf_counter() - t0, 1)})
+    return prefill_s
 
 
 def bench_primary(quick: bool):

@@ -361,29 +361,34 @@ def qwen3vl_greedy_decode(
         s1 = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)])[None, None, None, :]
         valid = jnp.arange(max_len)[None, None, None, :] < (length + 1)
         bias_d = jnp.where(valid, 0.0, -3.4e38).astype(jnp.float32)
-        for li in range(nl):
-            lp = jax.tree_util.tree_map(lambda a: a[li], params["text"]["layers"])
-            hn = _rms(xx, lp["ln1"], tcfg.rms_norm_eps)
+
+        # layers are scanned, not unrolled: one compiled layer body whatever
+        # the depth (48-layer 30B decode compiles like the 2-layer test cfg)
+        def layer_body(h_in, layer_in):
+            lp, kc_i, vc_i = layer_in
+            hn = _rms(h_in, lp["ln1"], tcfg.rms_norm_eps)
             q = (hn @ lp["attn"]["q"]).reshape(B, 1, N, hd)
             k = (hn @ lp["attn"]["k"]).reshape(B, 1, K, hd)
             v = (hn @ lp["attn"]["v"]).reshape(B, 1, K, hd)
             q = _rms(q, lp["attn"]["q_norm"], tcfg.rms_norm_eps)
             k = _rms(k, lp["attn"]["k_norm"], tcfg.rms_norm_eps)
             qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-            q = (qf * c1 + _rotate_half(qf) * s1).astype(xx.dtype)
-            k = (kf * c1 + _rotate_half(kf) * s1).astype(xx.dtype)
-            k_all = jax.lax.dynamic_update_slice(kc[li], k.astype(jnp.float32), (0, length, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(vc[li], v.astype(jnp.float32), (0, length, 0, 0))
-            kc = kc.at[li].set(k_all)
-            vc = vc.at[li].set(v_all)
+            q = (qf * c1 + _rotate_half(qf) * s1).astype(h_in.dtype)
+            k = (kf * c1 + _rotate_half(kf) * s1).astype(h_in.dtype)
+            k_all = jax.lax.dynamic_update_slice(kc_i, k.astype(jnp.float32), (0, length, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(vc_i, v.astype(jnp.float32), (0, length, 0, 0))
             kr = jnp.repeat(k_all, N // K, axis=2).astype(q.dtype)
             vr = jnp.repeat(v_all, N // K, axis=2).astype(q.dtype)
             lo = jnp.einsum("bind,bjnd->bnij", q, kr, preferred_element_type=jnp.float32) * (hd**-0.5)
             pr = jax.nn.softmax(lo + bias_d, axis=-1).astype(vr.dtype)
             o = jnp.einsum("bnij,bjnd->bind", pr, vr, preferred_element_type=jnp.float32)
-            xx = xx + (o.astype(xx.dtype).reshape(B, 1, N * hd) @ lp["attn"]["o"])
-            hn = _rms(xx, lp["ln2"], tcfg.rms_norm_eps)
-            xx = xx + (_moe(lp["mlp"], hn, tcfg) if "experts" in lp["mlp"] else _mlp(lp["mlp"], hn))
+            h2 = h_in + (o.astype(h_in.dtype).reshape(B, 1, N * hd) @ lp["attn"]["o"])
+            hn = _rms(h2, lp["ln2"], tcfg.rms_norm_eps)
+            h2 = h2 + (_moe(lp["mlp"], hn, tcfg) if "experts" in lp["mlp"] else _mlp(lp["mlp"], hn))
+            return h2, (k_all, v_all)
+
+        xx, (kc, vc) = jax.lax.scan(
+            layer_body, xx, (params["text"]["layers"], kc, vc))
         hid = _rms(xx, params["text"]["norm"], tcfg.rms_norm_eps)
         nxt = _sample_token((hid @ head)[0, -1].astype(jnp.float32), kstep,
                             temperature, top_p)[None]

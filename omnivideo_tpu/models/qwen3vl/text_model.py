@@ -233,42 +233,44 @@ def qwen3_greedy_decode(
     N, K, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     nl = cfg.num_hidden_layers
 
-    k_cache = jnp.zeros((nl, B, max_len, K, hd), jnp.float32)
-    v_cache = jnp.zeros_like(k_cache)
-
-    # ---- prefill ----------------------------------------------------------
+    # ---- prefill (scan over stacked layers — no per-layer unroll) ---------
     x = params["embed"][prompt_ids]
     pos = jnp.arange(Lp)[None]
     causal = jnp.tril(jnp.ones((Lp, Lp), bool))[None, None]
     bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
-    for i in range(nl):
-        lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
-        x, (k, v) = _layer(lp, x, pos, cfg, bias)
-        k_cache = k_cache.at[i, :, :Lp].set(k.astype(jnp.float32))
-        v_cache = v_cache.at[i, :, :Lp].set(v.astype(jnp.float32))
+
+    def prefill_body(xx, lp):
+        y, (k, v) = _layer(lp, xx, pos, cfg, bias)
+        return y, (k.astype(jnp.float32), v.astype(jnp.float32))
+
+    x, (k_pref, v_pref) = jax.lax.scan(prefill_body, x, params["layers"])
+    pad = ((0, 0), (0, 0), (0, max_len - Lp), (0, 0), (0, 0))
+    k_cache = jnp.pad(k_pref, pad)  # [nl, B, max_len, K, hd]
+    v_cache = jnp.pad(v_pref, pad)
     hidden = _rms(x[:, -1:], params["norm"], cfg.rms_norm_eps)
     head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = hidden @ (head.T if cfg.tie_word_embeddings else head)
     first_tok = jnp.argmax(logits[:, -1], -1)  # [1]
 
-    # ---- decode scan -------------------------------------------------------
+    # ---- decode scan (layers scanned, not unrolled: one compiled layer
+    # body regardless of depth — 48-layer 30B decode compiles like 2-layer) --
     def step(carry, _):
         tok, length, kc, vc, done = carry
         x = params["embed"][tok[:, None]]
         pos = length[None, None]
         valid = jnp.arange(max_len)[None, None, None, :] < (length + 1)
         bias = jnp.where(valid, 0.0, -3.4e38).astype(jnp.float32)
-        for i in range(nl):
-            lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
-            # run layer against full cache + current token
-            h, (k1, v1) = _layer_cached(lp, x, pos, cfg, bias, kc[i], vc[i], length)
-            kc = kc.at[i].set(
-                jax.lax.dynamic_update_slice(kc[i], k1.astype(jnp.float32), (0, length, 0, 0))
-            )
-            vc = vc.at[i].set(
-                jax.lax.dynamic_update_slice(vc[i], v1.astype(jnp.float32), (0, length, 0, 0))
-            )
-            x = h
+
+        def layer_body(xx, layer_in):
+            lp, kc_i, vc_i = layer_in
+            h, (k1, v1) = _layer_cached(lp, xx, pos, cfg, bias, kc_i, vc_i, length)
+            kc_i = jax.lax.dynamic_update_slice(
+                kc_i, k1.astype(jnp.float32), (0, length, 0, 0))
+            vc_i = jax.lax.dynamic_update_slice(
+                vc_i, v1.astype(jnp.float32), (0, length, 0, 0))
+            return h, (kc_i, vc_i)
+
+        x, (kc, vc) = jax.lax.scan(layer_body, x, (params["layers"], kc, vc))
         hidden = _rms(x, params["norm"], cfg.rms_norm_eps)
         logits = hidden @ (head.T if cfg.tie_word_embeddings else head)
         nxt = jnp.argmax(logits[:, -1], -1)
