@@ -281,7 +281,8 @@ def wan_block_apply(
         from ..parallel.ulysses import ulysses_attention
 
         o = ulysses_attention(
-            q, k, v, sp.mesh, axis=sp.seq_axis, kv_lens=aux.kv_lens, impl=attn_impl
+            q, k, v, sp.mesh, axis=sp.seq_axis, kv_lens=aux.kv_lens,
+            impl=attn_impl, assume_normalized=cfg.qk_norm
         )
     elif sp.mode == "ring":
         from ..parallel.ring import ring_attention

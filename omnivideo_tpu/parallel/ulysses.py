@@ -35,7 +35,8 @@ def _a2a_gather_heads(x, axis: str):
 
 
 def ulysses_attention_local(
-    q, k, v, axis: str = "seq", kv_lens=None, impl: str = "auto"
+    q, k, v, axis: str = "seq", kv_lens=None, impl: str = "auto",
+    assume_normalized: bool = False,
 ):
     """Attention on sequence-sharded q/k/v; call inside shard_map.
 
@@ -46,7 +47,8 @@ def ulysses_attention_local(
     q = _a2a_scatter_heads(q, axis)
     k = _a2a_scatter_heads(k, axis)
     v = _a2a_scatter_heads(v, axis)
-    o = attention(q, k, v, kv_lens=kv_lens, impl=impl)
+    o = attention(q, k, v, kv_lens=kv_lens, impl=impl,
+                  assume_normalized=assume_normalized)
     return _a2a_gather_heads(o, axis)
 
 
@@ -58,6 +60,7 @@ def ulysses_attention(
     axis: str = "seq",
     kv_lens: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    assume_normalized: bool = False,
 ) -> jnp.ndarray:
     """Global-view wrapper: shard q/k/v along L over `axis`, run Ulysses.
 
@@ -71,7 +74,8 @@ def ulysses_attention(
 
     spec = P(None, axis, None, None)
     fn = jax.shard_map(
-        functools.partial(ulysses_attention_local, axis=axis, kv_lens=kv_lens, impl=impl),
+        functools.partial(ulysses_attention_local, axis=axis, kv_lens=kv_lens,
+                          impl=impl, assume_normalized=assume_normalized),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
