@@ -88,26 +88,28 @@ def score_relaxed(prediction: str, truth: str, tol: float = 0.05) -> bool:
     return normalize_answer(prediction) == normalize_answer(truth)
 
 
+def _lev(a: str, b: str) -> int:
+    """Levenshtein edit distance (iterative two-row)."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def score_anls(prediction: str, truth_list: List[str],
                threshold: float = 0.5) -> float:
     """DocVQA ANLS: 1 − normalized Levenshtein to the closest ground truth,
     floored to 0 below the 0.5 threshold."""
     p = normalize_answer(prediction)
-
-    def lev(a: str, b: str) -> int:
-        if not a:
-            return len(b)
-        if not b:
-            return len(a)
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[-1] + 1,
-                               prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
-
+    lev = _lev
     best = 0.0
     for t in truth_list:
         t = normalize_answer(t)
@@ -115,6 +117,43 @@ def score_anls(prediction: str, truth_list: List[str],
         s = 1.0 - lev(p, t) / denom
         best = max(best, s)
     return best if best >= threshold else 0.0
+
+
+_NUM_RE = re.compile(r"[-+]?\d[\d,]*\.?\d*")
+
+
+def score_mathvista(prediction: str, row: Dict) -> float:
+    """MathVista answer normalization + exact compare (role of reference
+    mathvista_utils/calculate_score.py `normalize_extracted_answer` +
+    `safe_equal`): multi_choice snaps to the edit-distance-closest choice
+    (or the choice named by a bare option letter); integer/float answers
+    are parsed and rounded to the row's precision; everything else is
+    normalized-string equality."""
+    choices = row.get("choices") or []
+    ans = str(row.get("answer", "")).strip()
+    pred = str(prediction).strip()
+    if row.get("question_type") == "multi_choice" or (choices and not row.get("answer_type")):
+        if pred not in choices:
+            letter = _extract_choice_letter(pred, len(choices))
+            if letter and ord(letter) - 65 < len(choices):
+                pred = choices[ord(letter) - 65]
+            else:
+                pred = min(choices, key=lambda c: _lev(pred, str(c))) if choices else pred
+        return float(str(pred) == ans)
+    at = row.get("answer_type")
+    m = _NUM_RE.search(pred.replace(",", ""))
+    if at == "integer":
+        try:
+            return float(int(round(float(m.group()))) == int(round(float(ans))))
+        except (AttributeError, ValueError):
+            return 0.0
+    if at == "float":
+        prec = int(row.get("precision") or 2)
+        try:
+            return float(round(float(m.group()), prec) == round(float(ans), prec))
+        except (AttributeError, ValueError):
+            return 0.0
+    return float(normalize_answer(pred) == normalize_answer(ans))
 
 
 def score_row(row: Dict, prediction: str) -> float:
@@ -134,6 +173,8 @@ def score_row(row: Dict, prediction: str) -> float:
         from .grounding import score_grounding
 
         return score_grounding(prediction, row["answer"])
+    if mode == "mathvista":
+        return score_mathvista(prediction, row)
     return float(score_open(prediction, str(row.get("answer", row.get("label", "")))))
 
 
@@ -293,6 +334,26 @@ def adapt_docvqa(r: Dict) -> Dict:
     }
 
 
+def adapt_mathvista(r: Dict) -> Dict:
+    """MathVista record (pid/question/choices/answer/answer_type/precision,
+    reference mathvista_utils) → canonical row."""
+    choices = r.get("choices") or []
+    return {
+        "question_id": r.get("pid", r.get("question_id")),
+        "text": r.get("query", r.get("question", "")),
+        "image": r.get("image"),
+        "answer": r.get("answer", ""),
+        "choices": choices,
+        "question_type": r.get("question_type",
+                               "multi_choice" if choices else "free_form"),
+        "answer_type": r.get("answer_type"),
+        "precision": r.get("precision"),
+        "category": r.get("metadata", {}).get("category", "mathvista")
+        if isinstance(r.get("metadata"), dict) else "mathvista",
+        "mode": "mathvista",
+    }
+
+
 def adapt_textvqa(r: Dict) -> Dict:
     answers = r.get("answers") or ([r["answer"]] if r.get("answer") else [])
     return {
@@ -318,6 +379,7 @@ ADAPTERS: Dict[str, Callable[[Dict], Dict]] = {
     "docvqa": adapt_docvqa,
     "gqa": adapt_gqa,
     "vizwiz": adapt_vizwiz,
+    "mathvista": adapt_mathvista,
 }
 
 # grounding lives in eval/grounding.py (refcoco family; reference

@@ -422,3 +422,37 @@ def test_pairwise_review_with_injected_judge():
     assert summary["win2"] == 1 and summary["loss2"] == 1 and summary["tie"] == 1
     assert abs(summary["avg_score1"] - 7.0) < 1e-9
     assert abs(summary["relative_score"] - (19 / 21)) < 1e-9
+
+
+def test_mathvista_scoring():
+    """MathVista normalization semantics (reference mathvista_utils:
+    choice-snap by edit distance, integer/float rounding to precision)."""
+    from omnivideo_tpu.eval import vqa
+
+    # multi-choice: exact choice, letter form, and nearest-choice snap
+    row = vqa.adapt_mathvista({
+        "pid": "1", "question": "which is larger?",
+        "choices": ["triangle", "square"], "answer": "square",
+        "question_type": "multi_choice", "answer_type": "text",
+    })
+    assert vqa.score_row(row, "square") == 1.0
+    assert vqa.score_row(row, "(B)") == 1.0
+    assert vqa.score_row(row, "sqare") == 1.0   # edit-distance snap
+    assert vqa.score_row(row, "triangle") == 0.0
+
+    # integer
+    row = vqa.adapt_mathvista({
+        "pid": "2", "question": "how many?", "answer": "42",
+        "question_type": "free_form", "answer_type": "integer",
+    })
+    assert vqa.score_row(row, "There are 42 items") == 1.0
+    assert vqa.score_row(row, "41") == 0.0
+    assert vqa.score_row(row, "no idea") == 0.0
+
+    # float with precision
+    row = vqa.adapt_mathvista({
+        "pid": "3", "question": "value?", "answer": "3.14",
+        "question_type": "free_form", "answer_type": "float", "precision": 2,
+    })
+    assert vqa.score_row(row, "approximately 3.141") == 1.0
+    assert vqa.score_row(row, "3.2") == 0.0
