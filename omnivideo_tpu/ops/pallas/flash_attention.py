@@ -228,9 +228,14 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         mb = jnp.ceil(qn * kn * jnp.float32(scale * LOG2E)).astype(jnp.int32)
 
     if Lk_r > block_k and Lk_r <= 8192:
-        # single step: size bq so the f32 logits tile stays within ~8 MB VMEM
+        # single step: size bq so the f32 logits tile stays within the VMEM
+        # budget (default ~8 MB of the 16 MB core VMEM; FLASH_XATTN_VMEM_MB
+        # env overrides for on-chip sweeps)
+        import os
+
+        budget = int(float(os.environ.get("FLASH_XATTN_VMEM_MB", "8")) * 2**20)
         bk = Lk_r
-        bq = min(block_q, max(128, (8 * 2**20) // (4 * bk) // 128 * 128))
+        bq = min(block_q, max(128, budget // (4 * bk) // 128 * 128))
     else:
         bk = min(block_k, Lk_r)
         bq = min(block_q, _round_up(Lq, 128))
