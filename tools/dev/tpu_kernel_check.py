@@ -32,8 +32,13 @@ def main():
         ref = attention_xla(q, k, v, kv).astype(jnp.float32)
         out = flash_attention(q, k, v, kv).astype(jnp.float32)
         err = float(jnp.max(jnp.abs(ref - out)))
-        print(f"B{B} Lq{Lq} Lk{Lk} N{N} D{D} lens={lens}: max_err={err:.4f}")
+        out_b = flash_attention(q, k, v, kv,
+                                assume_normalized=True).astype(jnp.float32)
+        err_b = float(jnp.max(jnp.abs(ref - out_b)))
+        print(f"B{B} Lq{Lq} Lk{Lk} N{N} D{D} lens={lens}: "
+              f"max_err={err:.4f} bounded={err_b:.4f}")
         assert err < 0.07
+        assert err_b < 0.07
     print("OK")
 
 
