@@ -624,21 +624,33 @@ def _install_handlers():
     atexit.register(_emit_best)
 
 
-def _tunnel_alive(timeout_s: int = 90) -> bool:
+_ABANDONED_PROBES = []  # keep handles so abandoned probes don't get GC-killed
+
+
+def _tunnel_alive(timeout_s: int = 150) -> bool:
     """One tiny op in a throwaway subprocess — detects a wedged tunnel
-    without hanging this process."""
+    without hanging this process.
+
+    CRITICAL: a probe that exceeds the timeout is ABANDONED, never killed —
+    killing an in-flight TPU op re-wedges the tunnel for 10-60 min (the
+    round-3 probe-kill spiral). The orphan finishes its matmul whenever the
+    tunnel clears and exits on its own."""
     import subprocess
 
     if os.environ.get("BENCH_FORCE_WEDGED"):  # CI injection of the wedged path
         return False
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.sum(jnp.ones((128,128)) @ jnp.ones((128,128)))))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        rc = p.poll()
+        if rc is not None:
+            return rc == 0
+        time.sleep(2)
+    _ABANDONED_PROBES.append(p)  # leave it running — do NOT kill
+    return False
 
 
 def _wait_for_tunnel() -> bool:
@@ -647,7 +659,7 @@ def _wait_for_tunnel() -> bool:
     be outwaited; see VERDICT r2 weak-1)."""
     while True:
         t0 = time.monotonic()
-        alive = _tunnel_alive(timeout_s=90)
+        alive = _tunnel_alive(timeout_s=150)
         _TUNNEL_BUDGET[0] -= time.monotonic() - t0
         if alive:
             return True
@@ -757,7 +769,11 @@ def _orchestrate(quick: bool):
         return
 
     detail = {}
-    _run_phase_subprocess("primary", 1200, detail, retries=1)
+    # primary is NOT gated on a tunnel probe: a sluggish-but-alive tunnel
+    # (first per-process op can take minutes post-recovery) would fail a
+    # bounded probe and skip the whole run; the phase's own generous timeout
+    # is the real guard
+    _run_phase_subprocess("primary", 1200, detail, retries=1, needs_tpu=False)
     if _EMIT_STATE["value"] is None:
         print("# primary failed; will emit cache", file=sys.stderr)
         _emit_best()
