@@ -155,3 +155,32 @@ def test_pallas_flash_bounded_softmax_matches_xla():
     out = flash_attention(q, kc, vc, block_q=128, block_k=2048,
                           interpret=True, assume_normalized=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=2e-3)
+
+
+def test_dit_passes_assume_normalized(monkeypatch):
+    """wan_block_apply must hand assume_normalized=cfg.qk_norm to the
+    attention dispatch (both self- and cross-attention) — a silent loss of
+    this flag would silently forfeit the bounded-softmax fast path."""
+    import jax
+
+    import omnivideo_tpu.models.wan_dit as wd
+    from omnivideo_tpu.configs.base import WanDiTConfig
+
+    seen = []
+    orig = wd.attention
+
+    def spy(*a, **kw):
+        seen.append(kw.get("assume_normalized", False))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(wd, "attention", spy)
+    cfg = WanDiTConfig(patch_size=(1, 2, 2), text_len=8, in_dim=4, dim=64,
+                       ffn_dim=128, freq_dim=32, text_dim=48, out_dim=4,
+                       num_heads=4, num_layers=1)
+    params = wd.init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 2, 8, 8))
+    out = wd.wan_dit_apply(params, cfg, x, jnp.array([500.0]),
+                           jax.random.normal(jax.random.PRNGKey(2), (1, 8, 48)),
+                           attn_impl="xla")
+    assert seen and all(seen), seen  # qk_norm=True default → flag passed
+    assert out.shape == (1, 4, 2, 8, 8)
