@@ -690,16 +690,35 @@ def _merge_phase_output(stdout: str, detail: dict) -> bool:
     return found
 
 
+_LAST_TPU_PHASE_FAILED = [False]
+
+
 def _run_phase_subprocess(name: str, timeout_s: int, detail: dict,
                           retries: int = 1, needs_tpu: bool = True) -> bool:
-    """Run a detail phase isolated; merge its (possibly partial) output."""
+    """Run a detail phase isolated; merge its (possibly partial) output.
+
+    The tunnel gate only engages AFTER a failed/timed-out TPU phase: its
+    purpose is to avoid launching into a freshly-wedged tunnel, and on a
+    merely-sluggish tunnel (first per-process op can take minutes) a bounded
+    probe fails even though generously-timed phases would succeed."""
+    import subprocess
+
+    ok = _run_phase_inner(name, timeout_s, detail, retries, needs_tpu)
+    if needs_tpu:
+        _LAST_TPU_PHASE_FAILED[0] = not ok
+    return ok
+
+
+def _run_phase_inner(name: str, timeout_s: int, detail: dict,
+                     retries: int, needs_tpu: bool) -> bool:
     import subprocess
 
     for attempt in range(retries + 1):
         if _remaining() < 120:
             print(f"# phase {name}: deadline near; skipping", file=sys.stderr)
             return False
-        if needs_tpu and not _wait_for_tunnel():
+        if (needs_tpu and _LAST_TPU_PHASE_FAILED[0]
+                and not _wait_for_tunnel()):
             print(f"# phase {name}: tunnel unusable; skipping", file=sys.stderr)
             return False
         timeout_eff = min(timeout_s, max(60, int(_remaining() - 90)))
@@ -769,11 +788,8 @@ def _orchestrate(quick: bool):
         return
 
     detail = {}
-    # primary is NOT gated on a tunnel probe: a sluggish-but-alive tunnel
-    # (first per-process op can take minutes post-recovery) would fail a
-    # bounded probe and skip the whole run; the phase's own generous timeout
-    # is the real guard
-    _run_phase_subprocess("primary", 1200, detail, retries=1, needs_tpu=False)
+    # no pre-gate on primary (nothing failed yet — see _run_phase_subprocess)
+    _run_phase_subprocess("primary", 1200, detail, retries=1)
     if _EMIT_STATE["value"] is None:
         print("# primary failed; will emit cache", file=sys.stderr)
         _emit_best()
