@@ -201,9 +201,11 @@ def bench_e2e_480p(steps=50):
 
 
 def bench_e2e_720p(steps=50):
-    """Measured full 50-step 720p·81f denoise loop (VERDICT r2 item 3a):
-    max_steps_per_call=5 keeps each dispatch (~17 s/step x 5) inside the
-    tunnel's single-dispatch deadline."""
+    """Measured full 50-step 720p·81f denoise loop (VERDICT r2 item 3a).
+
+    max_steps_per_call=3 keeps each dispatch at ~46 s: 5-step chunks
+    (~77 s/dispatch) CRASHED the TPU worker — the tunnel's single-dispatch
+    deadline starts biting anywhere past ~60 s, not 120."""
     import jax
     import jax.numpy as jnp
 
@@ -222,12 +224,14 @@ def bench_e2e_720p(steps=50):
         guide_scale=3.0,
         seed=7,
         decode=False,
-        max_steps_per_call=5,
+        max_steps_per_call=3,
     )
-    # warm only 5 steps = ONE chunk (a full warm loop would double a ~15 min
-    # phase); the denoise cache keys on (solver, seg_len=5, seq_len), so the
-    # timed 50-step run reuses the compiled chunk — no compile in the timing
-    warm = dict(kwargs, sampling_steps=5, max_steps_per_call=5)
+    # warm only 3 steps = ONE chunk (a full warm loop would double a ~15 min
+    # phase); the denoise cache keys on (solver, seg_len, seq_len). 50 steps
+    # split into 17 near-equal chunks of 3/2 steps — warm both lengths so the
+    # timed run reuses compiled chunks only
+    pipe.generate(**dict(kwargs, sampling_steps=3, max_steps_per_call=3))
+    warm = dict(kwargs, sampling_steps=2, max_steps_per_call=2)
     pipe.generate(**warm)
     t0 = time.perf_counter()
     pipe.generate(**kwargs)
