@@ -61,7 +61,7 @@ def main():
 
     def self_attn_loop(q):
         def body(c, _):
-            o = flash_attention(c, c, c)
+            o = flash_attention(c, c, c, assume_normalized=True)
             return o, None
         out, _ = jax.lax.scan(body, q, None, length=nl)
         return jnp.sum(out.astype(jnp.float32))
@@ -74,7 +74,7 @@ def main():
 
     def cross_loop(q, kx):
         def body(c, _):
-            o = flash_attention(c, kx, kx)
+            o = flash_attention(c, kx, kx, assume_normalized=True)
             return o, None
         out, _ = jax.lax.scan(body, q, None, length=nl)
         return jnp.sum(out.astype(jnp.float32))
