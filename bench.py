@@ -302,9 +302,16 @@ def bench_a14b_block():
         x = jax.random.normal(jax.random.PRNGKey(1), (batch, L, d), jnp.float32)
         aux = WanAuxInputs(e0=e0, context=ctx, rope_cos=cos, rope_sin=sin,
                            kv_lens=None, sp=None)
+
+        # scan the block 4x per dispatch: amortizes the per-dispatch host
+        # sync + output materialization like the real 40-layer scan does
+        # (a single-block call under-reports MXU by ~20%)
+        reps = 4
         fwd = jax.jit(lambda p, xx, aux: jnp.sum(
-            wan_block_apply(p, xx, aux, cfg, attn_impl="auto").astype(jnp.float32)))
-        t = _timed(lambda *a: float(fwd(*a)), params, x, aux, n=2)
+            jax.lax.scan(lambda c, _: (wan_block_apply(p, c, aux, cfg,
+                                                       attn_impl="auto"), None),
+                         xx, None, length=reps)[0].astype(jnp.float32)))
+        t = _timed(lambda *a: float(fwd(*a)), params, x, aux, n=2) / reps
         flops = batch * (2 * L * d * d * 4 + 4 * L * L * d + 2 * L * d * d * 2
                          + 2 * Lc * d * d * 2 + 4 * L * Lc * d + 2 * L * d * f * 2)
         out[f"a14b_block_b{batch}_{tag}_s"] = round(t, 3)
