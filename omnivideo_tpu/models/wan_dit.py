@@ -35,6 +35,7 @@ import numpy as np
 
 from ..configs.base import WanDiTConfig
 from ..ops.attention import attention
+from ..ops.fused_adaln import fused_adaln
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import apply_rope, rope_3d_tables
 
@@ -239,6 +240,11 @@ class WanAuxInputs(NamedTuple):
     rope_sin: jnp.ndarray
     kv_lens: Optional[jnp.ndarray]  # [B] valid self-attn kv length or None
     sp: Optional[SPConfig] = None
+    # elementwise impl for the residual/norm/modulate sandwich: "auto" enables
+    # the fused Pallas kernel (ops/fused_adaln.py) on TPU when T=1; "xla"
+    # keeps plain ops (required under GSPMD meshes, where the Pallas call is
+    # opaque to sharding propagation — see parallel/mesh.py).
+    ew_impl: str = "xla"
 
 
 def wan_block_apply(
@@ -256,10 +262,19 @@ def wan_block_apply(
     # AdaLN: (modulation + e0).chunk(6) in f32 (model.py:236-239)
     e = bp["modulation"].astype(jnp.float32)[None, None] + aux.e0  # [B,T,6,d]
     e1, e2, e3, e4, e5, e6 = [e[:, :, i] for i in range(6)]
+    # fused residual+LN+modulate sandwich (one HBM pass) — scalar-timestep
+    # path only; per-token modulation (T=L) keeps the broadcast XLA form
+    fused = aux.ew_impl != "xla" and e.shape[1] == 1 and d % 128 == 0
 
     # --- self attention -------------------------------------------------
-    xn = layer_norm(x, cfg.eps, out_f32=True)
-    y = (xn * (1.0 + e2) + e1).astype(pdtype)
+    if fused:
+        _, y = fused_adaln(
+            x, None, None, None, None, e2[:, 0], e1[:, 0],
+            cfg.eps, pdtype, aux.ew_impl,
+        )
+    else:
+        xn = layer_norm(x, cfg.eps, out_f32=True)
+        y = (xn * (1.0 + e2) + e1).astype(pdtype)
     sa = bp["self_attn"]
     q = rms_norm(_dense(sa["q"], y), sa["norm_q"], cfg.eps).reshape(B, L, N, hd)
     k = rms_norm(_dense(sa["k"], y), sa["norm_k"], cfg.eps).reshape(B, L, N, hd)
@@ -301,13 +316,23 @@ def wan_block_apply(
         raise ValueError(sp.mode)
     o = o.reshape(B, L, d)
     o = _dense(sa["o"], o)
-    x = x + o.astype(jnp.float32) * e3  # f32 residual (model.py:245-246)
-
     # --- cross attention --------------------------------------------------
-    if cfg.cross_attn_norm:
-        xn = layer_norm(x, cfg.eps, scale=bp["norm3"]["scale"], bias=bp["norm3"]["bias"])
+    if fused and cfg.cross_attn_norm:
+        # f32 residual (model.py:245-246) + norm3, one pass; normed output
+        # emitted directly in the param dtype (the only consumer is the
+        # cross-attn q projection)
+        x, xq = fused_adaln(
+            x, o, e3[:, 0], bp["norm3"]["scale"], bp["norm3"]["bias"],
+            None, None, cfg.eps, pdtype, aux.ew_impl,
+        )
     else:
-        xn = x
+        x = x + o.astype(jnp.float32) * e3  # f32 residual (model.py:245-246)
+        if cfg.cross_attn_norm:
+            xn = layer_norm(
+                x, cfg.eps, scale=bp["norm3"]["scale"], bias=bp["norm3"]["bias"]
+            )
+        else:
+            xn = x
     ca = bp["cross_attn"]
     ctx = aux.context
     if sp is not None and sp.mode == "tp":
@@ -323,7 +348,8 @@ def wan_block_apply(
             # the full padded ctx
             return attention(q, k, v, kv_lens=None, impl=attn_impl,
                              assume_normalized=cfg.qk_norm)
-    xq = xn.astype(pdtype)
+    if not (fused and cfg.cross_attn_norm):
+        xq = xn.astype(pdtype)
     q = rms_norm(_dense(ca["q"], xq), ca["norm_q"], cfg.eps).reshape(B, L, N, hd)
     if "k_img" in ca:
         # i2v cross-attention (v1 wan model.py:185-226): first 257 context
@@ -342,11 +368,17 @@ def wan_block_apply(
         vv = _dense(ca["v"], ctx).reshape(B, Lc, N, hd)
         o = _xattn(q, kk, vv).reshape(B, L, d)
     o = _dense(ca["o"], o)
-    x = x + o.astype(jnp.float32)
 
     # --- ffn ---------------------------------------------------------------
-    xn = layer_norm(x, cfg.eps, out_f32=True)
-    y = (xn * (1.0 + e5) + e4).astype(pdtype)
+    if fused:
+        x, y = fused_adaln(
+            x, o, None, None, None, e5[:, 0], e4[:, 0],
+            cfg.eps, pdtype, aux.ew_impl,
+        )
+    else:
+        x = x + o.astype(jnp.float32)
+        xn = layer_norm(x, cfg.eps, out_f32=True)
+        y = (xn * (1.0 + e5) + e4).astype(pdtype)
     y = _dense(bp["ffn"]["fc2"], _gelu_tanh(_dense(bp["ffn"]["fc1"], y)))
     x = x + y.astype(jnp.float32) * e6
     return x
@@ -471,8 +503,22 @@ def wan_dit_apply(
             "(reference x2x_gen_unified.py:332-334)"
         )
     cos, sin = rope_3d_tables(grid, cfg.head_dim, cfg.rope_max_seq_len, cfg.rope_theta)
+    # The fused Pallas sandwich (ops/fused_adaln.py) measured ~0.6% SLOWER
+    # than XLA's own elementwise fusion in-DiT on v5e (tools/dev/
+    # bench_adaln_ab.py: 3.949 vs 3.972 s/step at 480p·81f, invariant to the
+    # 256/512/1024 row-tile sweep) — XLA recomputes the residual add into
+    # both layernorm passes instead of materializing x_new, which beats the
+    # kernel's extra f32 stream write. Kept opt-in for future shapes:
+    # OMNIVIDEO_EW_IMPL=pallas flips it; off-mesh only (Pallas is opaque to
+    # GSPMD sharding propagation).
+    import os
+
+    ew_impl = os.environ.get("OMNIVIDEO_EW_IMPL", "xla")
+    if mesh is not None or sp is not None:
+        ew_impl = "xla"
     aux = WanAuxInputs(
-        e0=e0, context=context, rope_cos=cos, rope_sin=sin, kv_lens=kv_lens, sp=sp
+        e0=e0, context=context, rope_cos=cos, rope_sin=sin, kv_lens=kv_lens, sp=sp,
+        ew_impl=ew_impl,
     )
 
     block_fn = lambda bp, xx: wan_block_apply(bp, xx, aux, cfg, attn_impl)
@@ -488,8 +534,14 @@ def wan_dit_apply(
     # head (reference model.py:261-290): 2-way modulation with e (not e0), f32
     hp = params["head"]
     eh = hp["modulation"].astype(jnp.float32)[None, None] + e[:, :, None]  # [B,T,2,d]
-    xn = layer_norm(hf, cfg.eps, out_f32=True)
-    y = xn * (1.0 + eh[:, :, 1]) + eh[:, :, 0]
+    if ew_impl != "xla" and eh.shape[1] == 1 and cfg.dim % 128 == 0:
+        _, y = fused_adaln(
+            hf, None, None, None, None, eh[:, 0, 1], eh[:, 0, 0],
+            cfg.eps, jnp.float32, ew_impl,
+        )
+    else:
+        xn = layer_norm(hf, cfg.eps, out_f32=True)
+        y = xn * (1.0 + eh[:, :, 1]) + eh[:, :, 0]
     out = _dense(hp["head"], y, dtype=jnp.float32)
 
     return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
