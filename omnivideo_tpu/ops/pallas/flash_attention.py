@@ -555,8 +555,19 @@ def flash_bwd_core(qt, kt, vt, do, lse_b, delta_b, kv_lens_bn, *, scale,
     the visiting K/V shard (ops/pallas/ring_attention.py)."""
     BN, Lq_p, D = qt.shape
     Lk_p = kt.shape[1]
-    bq = min(block_q, Lq_p)
-    bk = min(block_k, Lk_p)
+    # Blocks must DIVIDE the padded lengths: the fwd picks divisor blocks
+    # (_pick_block_k can land on 128 for awkward Lk, e.g. 4680→4736=37·128),
+    # so min(block, L_p) here could floor-drop whole blocks from the grid —
+    # silently wrong dq/dk/dv. Also cap bq·bk: the kernels keep s, p, dp, ds
+    # [bq, bk] live on the scoped-VMEM stack (~10 B/elem); 1024×2048 needs
+    # ~19 MB against the 16 MB limit (compile-time OOM, found by
+    # tools/dev/bench_train_step.py on chip).
+    bq = _pick_block_k(Lq_p, min(block_q, Lq_p))
+    bk = _pick_block_k(Lk_p, min(block_k, Lk_p))
+    while bq * bk > 2**19 and bq > 128:
+        bq = _pick_block_k(Lq_p, bq // 2)
+    while bq * bk > 2**19 and bk > 128:
+        bk = _pick_block_k(Lk_p, bk // 2)
     kv_steps = Lk_p // bk
     q_steps = Lq_p // bq
 

@@ -87,6 +87,27 @@ def test_pallas_backward_matches_xla_vjp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5)
 
 
+def test_pallas_backward_nondivisible_blocks():
+    """Padded KV length NOT divisible by the requested block must not drop
+    grid blocks. Lk=300 → Lk_p=384 with fwd bk=128; a bwd that re-derives
+    bk=min(256, 384)=256 and floor-divides covers only 256 of 384 kv rows —
+    silently wrong dq/dk/dv (found on chip by tools/dev/bench_train_step.py,
+    where Lk=4680 → Lk_p=4736=37·128 also compile-OOM'd scoped VMEM)."""
+    B, Lq, Lk, N, D = 1, 300, 300, 1, 64
+    q = _rand((B, Lq, N, D), 7)
+    k = _rand((B, Lk, N, D), 8)
+    v = _rand((B, Lk, N, D), 9)
+    g = _rand((B, Lq, N, D), 10)
+
+    out_p, vjp_p = jax.vjp(
+        lambda q, k, v: flash_attention(q, k, v, None, None, 256, 256, True),
+        q, k, v)
+    out_x, vjp_x = jax.vjp(lambda q, k, v: attention_xla(q, k, v), q, k, v)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=2e-5)
+    for a, b in zip(vjp_p(g), vjp_x(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5)
+
+
 @pytest.mark.slow
 def test_pallas_backward_unmasked_square():
     B, L, N, D = 1, 256, 1, 64
