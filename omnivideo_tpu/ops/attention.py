@@ -77,4 +77,13 @@ def attention(
 
         return _flash(q, k, v, kv_lens=kv_lens, softmax_scale=softmax_scale,
                       assume_normalized=assume_normalized)
+    if impl == "pallas_interpret":
+        # CI impl: the real kernels (fwd + custom-vjp bwd) in interpret mode
+        # on CPU, small blocks to keep the emulation cheap — lets the test
+        # suite drive full model/training paths through the Pallas code
+        from .pallas.flash_attention import flash_attention as _flash
+
+        return _flash(q, k, v, kv_lens=kv_lens, softmax_scale=softmax_scale,
+                      block_q=128, block_k=128, interpret=True,
+                      assume_normalized=assume_normalized)
     raise ValueError(f"unknown attention impl: {impl}")

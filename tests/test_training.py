@@ -762,3 +762,43 @@ def test_mode_timestep_sampling_valid():
     assert ids.min() >= 0 and ids.max() < 1000
     # mode sampling also concentrates away from the uniform edges
     assert np.mean((ids >= 250) & (ids < 750)) > 0.5
+
+
+@pytest.mark.slow
+def test_dit_train_step_pallas_interpret_matches_xla():
+    """The plain DiT train step (make_train_step — the path the on-chip
+    training bench drives) through the REAL Pallas flash fwd+bwd kernels
+    (interpret mode) must match the XLA-attention step: loss, grad norm, and
+    the updated params. Guards the flash custom-vjp integration that CPU-only
+    suites previously never exercised in a training context."""
+    from omnivideo_tpu.training.trainer import make_train_step
+
+    tc = TrainConfig(cfg_dropout=0.0, remat=True, warmup_steps=1,
+                     learning_rate=1e-3)
+    params = init_wan_dit(jax.random.PRNGKey(0), CFG.dit, dtype=jnp.float32)
+    tx = make_optimizer(tc, params)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (2, 16, 3, 8, 8),
+                                     jnp.float32),
+        "context": jax.random.normal(jax.random.PRNGKey(2),
+                                     (2, CFG.max_context_len, CFG.dit.text_dim),
+                                     jnp.float32),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    results = {}
+    for impl in ("xla", "pallas_interpret"):
+        state = init_train_state(params, tx)
+        step = make_train_step(CFG, tc, tx, attn_impl=impl)
+        state, m = step(state, batch, rng)
+        results[impl] = (float(m["loss"]), float(m["grad_norm"]), state.params)
+
+    lx, gx, px = results["xla"]
+    lp, gp, pp = results["pallas_interpret"]
+    np.testing.assert_allclose(lp, lx, rtol=1e-4)
+    np.testing.assert_allclose(gp, gx, rtol=1e-3)
+    flat_x = jax.tree_util.tree_leaves(px)
+    flat_p = jax.tree_util.tree_leaves(pp)
+    for a, b in zip(flat_p, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
