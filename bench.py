@@ -540,6 +540,28 @@ def _phase_main(name: str):
 
         jax.config.update("jax_platforms", "cpu")
         out["qwen30b_fsdp8_compile_s"] = round(bench_qwen30b_compile(), 1)
+    elif name == "train":
+        # measured 1.3B fwd+bwd+update steps (MANUAL phase: not in the
+        # default orchestration — cold compiles run ~10 min each; run via
+        # `python bench.py --phase train` and fold with merge_phase_cache).
+        # Larger rungs need the memory knobs: AdamW/f32-carry tops out at
+        # 33f on one 16 GB chip (see tools/dev/bench_train_step.py).
+        import pathlib
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent
+                               / "tools" / "dev"))
+        from bench_train_step import run_shape
+
+        for frames, opt, carry in (
+            (9, "adamw", "f32"),
+            (33, "adamw", "f32"),
+            (49, "adamw", "bf16"),
+            (81, "adafactor", "bf16"),
+        ):
+            dt, _, seq = run_shape(frames, n=2, opt=opt, carry=carry)
+            key = f"train_step_{frames}f_{opt}_{carry}"
+            out[key + "_s"] = round(dt, 3)
+            out[key + "_seq"] = seq
     else:
         raise SystemExit(f"unknown phase {name}")
     _phase_emit(out)

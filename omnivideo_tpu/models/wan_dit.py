@@ -441,6 +441,7 @@ def wan_dit_apply(
     sp: Optional[SPConfig] = None,
     y: Optional[jnp.ndarray] = None,
     clip_fea: Optional[jnp.ndarray] = None,
+    carry_dtype=None,
 ) -> jnp.ndarray:
     """Full DiT forward (reference model.py:417-524).
 
@@ -522,14 +523,24 @@ def wan_dit_apply(
     )
 
     block_fn = lambda bp, xx: wan_block_apply(bp, xx, aux, cfg, attn_impl)
+    cdt = carry_dtype if carry_dtype is not None else jnp.float32
+    if cdt != jnp.float32:
+        # cast INSIDE the (possibly rematerialized) block so the scan carry —
+        # and the 30 per-block checkpoints the backward saves — live in cdt;
+        # all in-block math still upcasts to f32 (memory knob, not a
+        # precision knob: halves the 30·[B,L,dim] f32 checkpoint stack that
+        # dominates single-chip training HBM at 480p — see TrainConfig)
+        inner_fn = block_fn
+        block_fn = lambda bp, xx: inner_fn(bp, xx.astype(jnp.float32)).astype(cdt)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
     def scan_body(xx, bp):
         return block_fn(bp, xx), None
 
-    hf = h.astype(jnp.float32)
+    hf = h.astype(cdt)
     hf, _ = jax.lax.scan(scan_body, hf, params["blocks"])
+    hf = hf.astype(jnp.float32)
 
     # head (reference model.py:261-290): 2-way modulation with e (not e0), f32
     hp = params["head"]

@@ -54,6 +54,13 @@ class TrainConfig:
     # timestep density (reference weighting_scheme, yaml:54-57): "uniform"
     # or SD3-style "logit_normal" — u = sigmoid(N(mean, std)), concentrating
     # samples at mid-noise levels
+    # "adamw" | "adafactor" (adafactor: factored 2nd moment, ~0 state HBM)
+    optimizer: str = "adamw"
+    # dtype of the residual stream CARRIED between blocks (and therefore of
+    # the 30 per-block remat checkpoints the backward saves): "float32"
+    # matches reference autocast; "bfloat16" halves the 30·[B,L,dim] f32
+    # checkpoint stack (3.5 GB at 480p·49f) — in-block math stays f32
+    carry_dtype: str = "float32"
     timestep_sampling: str = "uniform"  # | "logit_normal" | "mode"
     logit_mean: float = 0.0
     logit_std: float = 1.0
@@ -101,9 +108,17 @@ def make_optimizer(tc: TrainConfig, params=None):
         warmup_steps=warmup,
         decay_steps=max(tc.total_steps, warmup + 1),
     )
+    if tc.optimizer == "adafactor":
+        # factored second moment (rank-1 row/col stats): ~0 optimizer HBM vs
+        # AdamW's 2x params — the standard TPU choice when single-chip
+        # training is argument-bound (1.3B AdamW m/v alone are 5.2 GB)
+        inner = optax.adafactor(learning_rate=sched,
+                                weight_decay_rate=tc.weight_decay or None)
+    else:
+        inner = optax.adamw(sched, weight_decay=tc.weight_decay)
     tx = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
-        optax.adamw(sched, weight_decay=tc.weight_decay),
+        inner,
     )
     if params is not None and tc.trainable_filters:
         tx = optax.masked(tx, _trainable_mask(params, tc.trainable_filters))
@@ -160,6 +175,7 @@ def make_train_step(
             attn_impl=attn_impl,
             remat=tc.remat,
             mesh=mesh,
+            carry_dtype=jnp.bfloat16 if tc.carry_dtype == "bfloat16" else None,
         )
         per = jnp.mean(jnp.square(v - target), axis=(1, 2, 3, 4))
         return jnp.mean(weights * per)
@@ -266,6 +282,7 @@ def make_unified_train_step(
             attn_impl=attn_impl,
             remat=tc.remat,
             mesh=mesh,
+            carry_dtype=jnp.bfloat16 if tc.carry_dtype == "bfloat16" else None,
         )
         per = jnp.mean(jnp.square(v - target), axis=(1, 2, 3, 4))
         return jnp.mean(weights * per)

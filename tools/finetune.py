@@ -42,6 +42,14 @@ def parse_args():
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="accumulate grads over N micro-batches per update "
                         "(reference gradient_accumulation_steps)")
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adafactor"],
+                   help="adafactor: factored 2nd moment, ~0 optimizer HBM "
+                        "(single-chip large-shape finetunes)")
+    p.add_argument("--carry_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="dtype of the inter-block residual carry (bfloat16 "
+                        "halves the per-block remat checkpoint HBM)")
     p.add_argument("--timestep_sampling", default="uniform",
                    choices=["uniform", "logit_normal", "mode"],
                    help="timestep density (reference weighting_scheme)")
@@ -136,6 +144,8 @@ def main():
         cfg_dropout=args.cfg_dropout,
         trainable_filters=tuple(args.trainable),
         grad_accum_steps=args.grad_accum_steps,
+        optimizer=args.optimizer,
+        carry_dtype=args.carry_dtype,
         timestep_sampling=args.timestep_sampling,
         logit_mean=args.logit_mean,
         logit_std=args.logit_std,
