@@ -562,11 +562,16 @@ def flash_bwd_core(qt, kt, vt, do, lse_b, delta_b, kv_lens_bn, *, scale,
     # [bq, bk] live on the scoped-VMEM stack (~10 B/elem); 1024×2048 needs
     # ~19 MB against the 16 MB limit (compile-time OOM, found by
     # tools/dev/bench_train_step.py on chip).
+    import os
+
+    # 2^20 elems ≈ 10 MB of s/p/dp/ds stack — fits beside the operand tiles;
+    # chip A/B at seq 14,040: 3.269 s/step (2^19) → 3.221 (2^20)
+    cap = int(os.environ.get("FLASH_BWD_TILE_ELEMS", str(2**20)))
     bq = _pick_block_k(Lq_p, min(block_q, Lq_p))
     bk = _pick_block_k(Lk_p, min(block_k, Lk_p))
-    while bq * bk > 2**19 and bq > 128:
+    while bq * bk > cap and bq > 128:
         bq = _pick_block_k(Lq_p, bq // 2)
-    while bq * bk > 2**19 and bk > 128:
+    while bq * bk > cap and bk > 128:
         bk = _pick_block_k(Lk_p, bk // 2)
     kv_steps = Lk_p // bk
     q_steps = Lq_p // bq
