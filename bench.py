@@ -15,7 +15,10 @@ detail adds the north-star numbers from BASELINE.md:
   - a14b_block_step_s: ONE A14B DiT block (dim 5120, ffn 13824) measured on
     the chip — basis for a14b_step_derived = 40*block + head;
   - a14b_fsdp8_compile_s: the dual-expert A14B denoise step COMPILED at real
-    480p shapes over a virtual 8-device fsdp x sp mesh.
+    480p shapes over a virtual 8-device fsdp x sp mesh;
+  - train_step_*: measured 1.3B training steps (fwd+bwd+update) — produced by
+    the MANUAL `--phase train` (cold compiles ~10 min; not in the default
+    orchestration) and carried in the cache.
 
 vs_baseline semantics: the reference publishes no benchmark numbers
 (BASELINE.md), so vs_baseline is the achieved fraction of the chip's bf16

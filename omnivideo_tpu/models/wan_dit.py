@@ -240,11 +240,6 @@ class WanAuxInputs(NamedTuple):
     rope_sin: jnp.ndarray
     kv_lens: Optional[jnp.ndarray]  # [B] valid self-attn kv length or None
     sp: Optional[SPConfig] = None
-    # elementwise impl for the residual/norm/modulate sandwich: "auto" enables
-    # the fused Pallas kernel (ops/fused_adaln.py) on TPU when T=1; "xla"
-    # keeps plain ops (required under GSPMD meshes, where the Pallas call is
-    # opaque to sharding propagation — see parallel/mesh.py).
-    ew_impl: str = "xla"
 
 
 def wan_block_apply(
@@ -253,6 +248,7 @@ def wan_block_apply(
     aux: WanAuxInputs,
     cfg: WanDiTConfig,
     attn_impl: str = "auto",
+    ew_impl: str = "xla",
 ) -> jnp.ndarray:
     """One WanAttentionBlock (reference model.py:182-258). x: [B, L, dim] f32."""
     B, L, d = x.shape
@@ -264,13 +260,13 @@ def wan_block_apply(
     e1, e2, e3, e4, e5, e6 = [e[:, :, i] for i in range(6)]
     # fused residual+LN+modulate sandwich (one HBM pass) — scalar-timestep
     # path only; per-token modulation (T=L) keeps the broadcast XLA form
-    fused = aux.ew_impl != "xla" and e.shape[1] == 1 and d % 128 == 0
+    fused = ew_impl != "xla" and e.shape[1] == 1 and d % 128 == 0
 
     # --- self attention -------------------------------------------------
     if fused:
         _, y = fused_adaln(
             x, None, None, None, None, e2[:, 0], e1[:, 0],
-            cfg.eps, pdtype, aux.ew_impl,
+            cfg.eps, pdtype, ew_impl,
         )
     else:
         xn = layer_norm(x, cfg.eps, out_f32=True)
@@ -323,7 +319,7 @@ def wan_block_apply(
         # cross-attn q projection)
         x, xq = fused_adaln(
             x, o, e3[:, 0], bp["norm3"]["scale"], bp["norm3"]["bias"],
-            None, None, cfg.eps, pdtype, aux.ew_impl,
+            None, None, cfg.eps, pdtype, ew_impl,
         )
     else:
         x = x + o.astype(jnp.float32) * e3  # f32 residual (model.py:245-246)
@@ -373,7 +369,7 @@ def wan_block_apply(
     if fused:
         x, y = fused_adaln(
             x, o, None, None, None, e5[:, 0], e4[:, 0],
-            cfg.eps, pdtype, aux.ew_impl,
+            cfg.eps, pdtype, ew_impl,
         )
     else:
         x = x + o.astype(jnp.float32)
@@ -518,11 +514,10 @@ def wan_dit_apply(
     if mesh is not None or sp is not None:
         ew_impl = "xla"
     aux = WanAuxInputs(
-        e0=e0, context=context, rope_cos=cos, rope_sin=sin, kv_lens=kv_lens, sp=sp,
-        ew_impl=ew_impl,
+        e0=e0, context=context, rope_cos=cos, rope_sin=sin, kv_lens=kv_lens, sp=sp
     )
 
-    block_fn = lambda bp, xx: wan_block_apply(bp, xx, aux, cfg, attn_impl)
+    block_fn = lambda bp, xx: wan_block_apply(bp, xx, aux, cfg, attn_impl, ew_impl)
     cdt = carry_dtype if carry_dtype is not None else jnp.float32
     if cdt != jnp.float32:
         # cast INSIDE the (possibly rematerialized) block so the scan carry —

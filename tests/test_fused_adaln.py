@@ -113,9 +113,10 @@ def test_block_fused_path_matches_xla(monkeypatch):
     def run(ew_impl):
         aux = wd.WanAuxInputs(
             e0=e0, context=ctx, rope_cos=cos, rope_sin=sin, kv_lens=None,
-            sp=None, ew_impl=ew_impl,
+            sp=None,
         )
-        return wd.wan_block_apply(bp, x, aux, cfg, attn_impl="xla")
+        return wd.wan_block_apply(bp, x, aux, cfg, attn_impl="xla",
+                                  ew_impl=ew_impl)
 
     out_xla = run("xla")
     out_fused = run("pallas")
