@@ -187,3 +187,32 @@ def test_gradients_flow():
     assert jnp.isfinite(gnorm)
     hk = grads["head"]["head"]["kernel"]
     assert float(jnp.sum(jnp.abs(hk))) > 0.0
+
+
+def test_aux_inputs_is_jit_safe_pytree():
+    """WanAuxInputs must remain passable AS A JIT ARGUMENT: every field is
+    either an array or None/SPConfig-free in the hot benches (the A14B block
+    bench jits `lambda bp, x, aux: wan_block_apply(...)`). A non-array leaf
+    (e.g. a str config knob — round-3 regression) breaks tracing with
+    'cannot interpret str as abstract array'."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.configs.base import WanDiTConfig
+    from omnivideo_tpu.models import wan_dit as wd
+
+    cfg = WanDiTConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=1,
+                       freq_dim=32, text_dim=64, in_dim=16, out_dim=16)
+    bp = wd.init_wan_block(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, L = 1, 24
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, L, cfg.dim), jnp.float32)
+    e0 = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 6, cfg.dim), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (B, 8, cfg.dim), jnp.float32)
+    cos, sin = wd.rope_3d_tables((2, 3, 4), cfg.head_dim, 64, 10000.0)
+    aux = wd.WanAuxInputs(e0=e0, context=ctx, rope_cos=cos, rope_sin=sin,
+                          kv_lens=None, sp=None)
+
+    out = jax.jit(
+        lambda bp, x, aux: wd.wan_block_apply(bp, x, aux, cfg, "xla")
+    )(bp, x, aux)
+    assert out.shape == (B, L, cfg.dim)

@@ -30,6 +30,11 @@ def main():
     cfg = T2V_1_3B
     dit_cfg = cfg.dit.replace(text_len=cfg.max_context_len)
     params = wd.init_wan_dit(jax.random.PRNGKey(0), dit_cfg, dtype=jnp.bfloat16)
+    # the head is zero-init (AdaLN-zero): randomize it so the A/B value
+    # comparison actually observes the blocks' output
+    params["head"]["head"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(7), params["head"]["head"]["kernel"].shape,
+        jnp.float32)
     x = jax.random.normal(
         jax.random.PRNGKey(1), (2, 16, args.frames, 60, 104), jnp.bfloat16)
     t = jnp.full((2,), 500.0, jnp.float32)
