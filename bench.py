@@ -191,13 +191,23 @@ def bench_e2e_480p(steps=50):
     del pipe, latents
     _free()
 
+    from omnivideo_tpu.pipelines.x2x import video_to_uint8_frames
+
     vae_params = init_vae(jax.random.PRNGKey(3), cfg.vae)
-    fd = jax.jit(lambda p, z: vae_decode(p, cfg.vae, z, dtype=jnp.float32))
-    video = np.asarray(fd(vae_params, z))  # compile + run
+
+    # quantize to uint8 ON DEVICE: the f32 [3,81,480,832] host fetch
+    # (~390 MB over the tunnel) caused a 9% e2e run-to-run spread; the
+    # uint8 frames are what the save path consumes anyway
+    def _dec(p, z):
+        vid = vae_decode(p, cfg.vae, z, dtype=jnp.float32)
+        return video_to_uint8_frames(vid[0]), jnp.isfinite(vid).all()
+
+    fd = jax.jit(_dec)
+    video, finite = (np.asarray(a) for a in fd(vae_params, z))  # compile+run
     t0 = time.perf_counter()
-    video = np.asarray(fd(vae_params, z))
+    video, finite = (np.asarray(a) for a in fd(vae_params, z))
     t_decode = time.perf_counter() - t0
-    if not np.isfinite(video).all():
+    if not bool(finite):
         raise RuntimeError("non-finite video from VAE decode")
     del vae_params, video
     return t_denoise + t_decode
@@ -736,27 +746,31 @@ def _run_phase_subprocess(name: str, timeout_s: int, detail: dict,
     The tunnel gate only engages AFTER a failed/timed-out TPU phase: its
     purpose is to avoid launching into a freshly-wedged tunnel, and on a
     merely-sluggish tunnel (first per-process op can take minutes) a bounded
-    probe fails even though generously-timed phases would succeed."""
-    import subprocess
+    probe fails even though generously-timed phases would succeed.
 
-    ok = _run_phase_inner(name, timeout_s, detail, retries, needs_tpu)
+    Success (rc==0, no timeout) and got-partial-output are tracked
+    SEPARATELY: a phase killed by its timeout that streamed PHASE_JSON
+    still contributed data, but the kill of its in-flight op is exactly the
+    documented wedge trigger — the next TPU phase must gate on the probe."""
+    ok, got = _run_phase_inner(name, timeout_s, detail, retries, needs_tpu)
     if needs_tpu:
         _LAST_TPU_PHASE_FAILED[0] = not ok
-    return ok
+    return ok or got
 
 
 def _run_phase_inner(name: str, timeout_s: int, detail: dict,
-                     retries: int, needs_tpu: bool) -> bool:
+                     retries: int, needs_tpu: bool):
     import subprocess
 
+    got_any = False
     for attempt in range(retries + 1):
         if _remaining() < 120:
             print(f"# phase {name}: deadline near; skipping", file=sys.stderr)
-            return False
+            return False, got_any
         if (needs_tpu and _LAST_TPU_PHASE_FAILED[0]
                 and not _wait_for_tunnel()):
             print(f"# phase {name}: tunnel unusable; skipping", file=sys.stderr)
-            return False
+            return False, got_any
         timeout_eff = min(timeout_s, max(60, int(_remaining() - 90)))
         try:
             r = subprocess.run(
@@ -769,15 +783,68 @@ def _run_phase_inner(name: str, timeout_s: int, detail: dict,
             stdout, stderr, ok = _txt(e.stdout), _txt(e.stderr), False
             print(f"# phase {name}: timeout {timeout_eff}s "
                   f"(attempt {attempt + 1})", file=sys.stderr)
-        got = _merge_phase_output(stdout, detail)
-        if ok or got:
-            return True
+        got_any |= _merge_phase_output(stdout, detail)
+        if ok:
+            return True, got_any
+        if got_any:
+            # partial data in hand; don't retry (the kill likely wedged the
+            # tunnel — let the next phase's gate probe it)
+            return False, True
         tail = (stderr or "").strip().splitlines()[-1:] or ["no output"]
         print(f"# phase {name} failed (attempt {attempt + 1}): {tail[0]}",
               file=sys.stderr)
         if attempt < retries:
             time.sleep(30)  # let the server side settle before retrying
-    return False
+    return False, got_any
+
+
+def _backend_probe(timeout_s: float):
+    """Detect the jax backend in a throwaway subprocess; returns the backend
+    string or None. Runs a tiny matmul first so 'tpu' also means 'answers
+    ops'. On timeout the probe is ABANDONED, never killed (a kill of an
+    in-flight op re-wedges the tunnel)."""
+    import subprocess
+    import tempfile
+
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((128,128), jnp.bfloat16);"
+            "assert float(jnp.sum(x @ x)) > 0;"
+            "print('BACKEND=' + jax.default_backend(), flush=True)")
+    out = tempfile.NamedTemporaryFile(mode="w+", suffix=".log", delete=False)
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=out, stderr=subprocess.DEVNULL)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if p.poll() is not None:
+            break
+        time.sleep(3)
+    if p.poll() is None:
+        _ABANDONED_PROBES.append(p)  # leave it running — do NOT kill
+        return None
+    try:
+        out.seek(0)
+        for line in out.read().splitlines():
+            if line.startswith("BACKEND="):
+                return line.split("=", 1)[1]
+    finally:
+        out.close()
+    return None
+
+
+def _long_wedge_wait():
+    """Single long backoff for a wedged tunnel: one unbounded probe, polled
+    until it answers or the budget runs out. Budget = what the wall-clock
+    deadline can spare after reserving time for the primary phase."""
+    if os.environ.get("BENCH_FORCE_WEDGED"):  # CI: tunnel is "wedged" forever
+        return None
+    reserve = 480.0  # keep ~8 min to measure the primary once the wedge clears
+    budget = min(float(os.environ.get("BENCH_WEDGE_WAIT_S", "2400")),
+                 _remaining() - reserve)
+    if budget < 120:
+        return None
+    print(f"# tunnel wedged; single long backoff up to {budget:.0f}s "
+          "(wedges clear in 10-40 min)", file=sys.stderr)
+    return _backend_probe(timeout_s=budget)
 
 
 def _orchestrate(quick: bool):
@@ -797,19 +864,20 @@ def _orchestrate(quick: bool):
     backend = None
     probe_attempts = 0 if os.environ.get("BENCH_FORCE_WEDGED") else 2
     for _ in range(probe_attempts):
-        code = "import jax; print('BACKEND=' + jax.default_backend())"
-        try:
-            r = subprocess.run([sys.executable, "-c", code], timeout=100,
-                               capture_output=True, text=True)
-            for line in r.stdout.splitlines():
-                if line.startswith("BACKEND="):
-                    backend = line.split("=", 1)[1]
-            if backend:
-                break
-        except subprocess.TimeoutExpired:
-            print("# backend probe timed out (wedged tunnel?); retrying",
-                  file=sys.stderr)
-            time.sleep(60)
+        backend = _backend_probe(timeout_s=100)
+        if backend:
+            break
+        print("# backend probe timed out (wedged tunnel?); retrying",
+              file=sys.stderr)
+        time.sleep(60)
+    if backend is None:
+        # One LONG budget-aware backoff before surrendering to the cache: a
+        # wedge clears in 10-40 min, which is inside the driver's window
+        # even though it dwarfs the 2x100s probes above (VERDICT r3 item 2 —
+        # rounds 2 and 3 both shipped stale artifacts because we gave up in
+        # ~4 min). A single unbounded probe is launched and POLLED (never
+        # killed: killing an in-flight op re-wedges the tunnel).
+        backend = _long_wedge_wait()
     if backend is None:
         # tunnel dead: emit the last-good cache marked stale (never hang)
         print("# backend unreachable; emitting cached result", file=sys.stderr)

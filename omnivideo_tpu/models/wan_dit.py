@@ -298,15 +298,15 @@ def wan_block_apply(
     elif sp.mode == "ring":
         from ..parallel.ring import ring_attention
 
-        assert aux.kv_lens is None, "ring attention requires unpadded seq_len"
         o = ring_attention(q, k, v, sp.mesh, axis=sp.seq_axis,
-                           impl=getattr(sp, "ring_impl", "ppermute"))
+                           impl=getattr(sp, "ring_impl", "ppermute"),
+                           kv_lens=aux.kv_lens)
     elif sp.mode == "hybrid":
         from ..parallel.ring import hybrid_attention
 
-        assert aux.kv_lens is None, "hybrid attention requires unpadded seq_len"
         o = hybrid_attention(
-            q, k, v, sp.mesh, ulysses_axis=sp.ulysses_axis, ring_axis=sp.seq_axis
+            q, k, v, sp.mesh, ulysses_axis=sp.ulysses_axis,
+            ring_axis=sp.seq_axis, kv_lens=aux.kv_lens
         )
     else:
         raise ValueError(sp.mode)
@@ -438,6 +438,7 @@ def wan_dit_apply(
     y: Optional[jnp.ndarray] = None,
     clip_fea: Optional[jnp.ndarray] = None,
     carry_dtype=None,
+    ew_impl: str = "xla",
 ) -> jnp.ndarray:
     """Full DiT forward (reference model.py:417-524).
 
@@ -450,6 +451,12 @@ def wan_dit_apply(
         to the natural token count.
       y: optional conditional video input for image-to-video mode, channel-
         concatenated with x (reference model.py:451-452; i2v in_dim doubles).
+      ew_impl: elementwise (AdaLN sandwich) implementation: "xla" (default —
+        measured fastest on v5e, see the note below) or "pallas" (the fused
+        ops/fused_adaln.py kernel, opt-in for shapes where the balance may
+        differ). An explicit argument — callers that expose the knob (e.g.
+        tools/dev/bench_adaln_ab.py) read any env var ONCE at their own
+        layer; the forward itself is referentially transparent.
     Returns:
       [B, C_out, F, H, W] predicted velocity, f32.
     """
@@ -505,12 +512,8 @@ def wan_dit_apply(
     # bench_adaln_ab.py: 3.949 vs 3.972 s/step at 480p·81f, invariant to the
     # 256/512/1024 row-tile sweep) — XLA recomputes the residual add into
     # both layernorm passes instead of materializing x_new, which beats the
-    # kernel's extra f32 stream write. Kept opt-in for future shapes:
-    # OMNIVIDEO_EW_IMPL=pallas flips it; off-mesh only (Pallas is opaque to
-    # GSPMD sharding propagation).
-    import os
-
-    ew_impl = os.environ.get("OMNIVIDEO_EW_IMPL", "xla")
+    # kernel's extra f32 stream write. ew_impl="pallas" is opt-in; forced to
+    # "xla" under mesh/sp (Pallas is opaque to GSPMD sharding propagation).
     if mesh is not None or sp is not None:
         ew_impl = "xla"
     aux = WanAuxInputs(

@@ -214,6 +214,7 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
     packed = D % 128 == 0
 
     mb = None
+    safe = None
     if static_max:
         # per-(batch, head) Cauchy-Schwarz bound on the log2-domain logits:
         # s·c = q·k·c ≤ max_row|q|·max_row|k|·c. Two cheap HBM passes here
@@ -223,9 +224,20 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
                                       axis=-1), axis=1))  # [B, N]
         kn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(k.astype(jnp.float32)),
                                       axis=-1), axis=1))
+        bound_f = qn * kn * jnp.float32(scale * LOG2E)
         # ceil to int32 (scalar-prefetch arrays are int32): still a valid
         # upper bound, slack grows by < 1 log2 unit
-        mb = jnp.ceil(qn * kn * jnp.float32(scale * LOG2E)).astype(jnp.int32)
+        mb = jnp.ceil(bound_f).astype(jnp.int32)
+        # underflow guard: every logit satisfies |s| ≤ bound, so the slack
+        # (mb − s) never exceeds 2·bound (+2 for the int ceil and f32 mul
+        # error). exp2 flushes to zero below −126; if all of a row's terms
+        # flush, the denom==0→1 epilogue would silently emit a ZERO row
+        # instead of a softmax. Today's qk-normed gains give bound ≈ 15-25,
+        # but a finetune could grow them — so the bounded kernel only runs
+        # when the worst-case slack stays well inside f32's exponent range,
+        # falling back to the max-tracked kernel otherwise (lax.cond: one
+        # scalar compare at run time, both kernels compiled once per shape).
+        safe = (2.0 * jnp.max(bound_f) + 2.0) < 120.0
 
     if Lk_r > block_k and Lk_r <= 8192:
         # single step: size bq so the f32 logits tile stays within the VMEM
@@ -265,39 +277,49 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
                                memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((B * N, Lq, D), q.dtype)
 
-    kernel = functools.partial(
-        _fa_kernel, scale=float(scale), block_k=bk, kv_steps=kv_steps,
-        with_lse=False, zero_oob_v=True, grid4=packed, static_max=static_max,
-        n_heads=N,
-    )
-    prefetch = [lens]
+    def _invoke(static, ops):
+        kernel = functools.partial(
+            _fa_kernel, scale=float(scale), block_k=bk, kv_steps=kv_steps,
+            with_lse=False, zero_oob_v=True, grid4=packed, static_max=static,
+            n_heads=N,
+        )
+        # ops = (lens, mb?, q3, k3, v3); the max-tracked branch drops mb
+        in_ops = ops if static or len(ops) == 4 else (ops[0],) + ops[2:]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=len(in_ops) - 3,
+                grid=grid,
+                in_specs=[q_spec, kv_spec, kv_spec],
+                out_specs=q_spec,
+                scratch_shapes=[
+                    pltpu.VMEM((bq, 128), jnp.float32),
+                    pltpu.VMEM((bq, 128), jnp.float32),
+                    pltpu.VMEM((bq, D), jnp.float32),
+                ],
+            ),
+            out_shape=out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * N * Lq * Lk_r * D,
+                bytes_accessed=B * N * (2 * Lq + 2 * Lk) * D * 2,
+                transcendentals=B * N * Lq * Lk_r,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(("parallel",) * (len(grid) - 1)
+                                     + ("arbitrary",)),
+            ),
+            interpret=interpret,
+        )(*in_ops)
+
     if static_max:
-        prefetch.append(mb.reshape(B * N))
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=len(prefetch),
-            grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec],
-            out_specs=q_spec,
-            scratch_shapes=[
-                pltpu.VMEM((bq, 128), jnp.float32),
-                pltpu.VMEM((bq, 128), jnp.float32),
-                pltpu.VMEM((bq, D), jnp.float32),
-            ],
-        ),
-        out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * N * Lq * Lk_r * D,
-            bytes_accessed=B * N * (2 * Lq + 2 * Lk) * D * 2,
-            transcendentals=B * N * Lq * Lk_r,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(("parallel",) * (len(grid) - 1)
-                                 + ("arbitrary",)),
-        ),
-        interpret=interpret,
-    )(*prefetch, q3, k3, v3)
+        out = jax.lax.cond(
+            safe,
+            functools.partial(_invoke, True),
+            functools.partial(_invoke, False),
+            (lens, mb.reshape(B * N), q3, k3, v3),
+        )
+    else:
+        out = _invoke(False, (lens, q3, k3, v3))
     if packed:
         return out.reshape(B, Lq, N, D)
     return out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3)

@@ -46,6 +46,19 @@ from ..schedulers import FlowDPMSolver, FlowUniPC, get_sampling_sigmas
 log = logging.getLogger(__name__)
 
 
+def video_to_uint8_frames(video: jnp.ndarray) -> jnp.ndarray:
+    """[C, T, H, W] f32 in [-1,1] → [T, H, W, C] uint8, ON DEVICE.
+
+    Value-identical to utils.video._to_uint8 (clip → affine → +0.5 →
+    truncating cast; float→int converts truncate toward zero in both XLA and
+    numpy), so save_video(frames) writes the same bytes — but the host fetch
+    over the tunnel moves 1 byte/px instead of 4 (the f32 fetch of a 480p·81f
+    video is ~390 MB and was the dominant e2e run-to-run variance)."""
+    x = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
+    u8 = ((x + 1.0) * 127.5 + 0.5).astype(jnp.uint8)
+    return jnp.transpose(u8, (1, 2, 3, 0))
+
+
 @dataclasses.dataclass
 class ExpertParams:
     wan: Any  # DiT param pytree
@@ -208,10 +221,14 @@ class OmniVideoX2XUnified:
         decode: bool = True,
         max_steps_per_call: Optional[int] = None,
         vae_dtype=None,
+        output_uint8: bool = False,
     ):
         """Generate a video (reference generate(), x2x_gen_unified.py:261-540).
 
-        Returns decoded video [3, frame_num, H, W] f32 in [-1,1], or the raw
+        Returns decoded video [3, frame_num, H, W] f32 in [-1,1] (or
+        [frame_num, H, W, 3] uint8 frames when output_uint8 — the [-1,1]→byte
+        quantization runs ON DEVICE so the host fetch moves 4× less data over
+        the tunnel; math identical to utils.video._to_uint8), or the raw
         latents when decode=False.
         """
         cfg = self.config
@@ -347,4 +364,6 @@ class OmniVideoX2XUnified:
         # output is cast back to f32 before [-1,1] clamping either way
         video = (self.vae.decode(latents, dtype=vae_dtype) if vae_dtype is not None
                  else self.vae.decode(latents))
+        if output_uint8:
+            return np.asarray(video_to_uint8_frames(video[0]))
         return np.asarray(video[0])

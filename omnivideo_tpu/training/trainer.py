@@ -98,6 +98,30 @@ def _trainable_mask(params, filters):
     return jax.tree_util.tree_map_with_path(f, params)
 
 
+def _lr_scaled_decay(wd: float, sched) -> optax.GradientTransformation:
+    """Decoupled weight decay scaled by the lr schedule (adamw semantics).
+
+    Appended after a transform whose emitted updates are already final deltas
+    (adafactor): adds -sched(step)·wd·param so the effective decay matches
+    optax.adamw's lr·wd, independent of the inner optimizer's own scaling.
+    """
+
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("_lr_scaled_decay requires params")
+        lr = sched(state.count)
+        updates = jax.tree_util.tree_map(
+            lambda u, p: u - lr * wd * p.astype(u.dtype), updates, params
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(tc: TrainConfig, params=None):
     # clamp warmup for short runs (smoke tests, tiny finetunes): optax
     # requires decay_steps > warmup_steps
@@ -111,9 +135,15 @@ def make_optimizer(tc: TrainConfig, params=None):
     if tc.optimizer == "adafactor":
         # factored second moment (rank-1 row/col stats): ~0 optimizer HBM vs
         # AdamW's 2x params — the standard TPU choice when single-chip
-        # training is argument-bound (1.3B AdamW m/v alone are 5.2 GB)
-        inner = optax.adafactor(learning_rate=sched,
-                                weight_decay_rate=tc.weight_decay or None)
+        # training is argument-bound (1.3B AdamW m/v alone are 5.2 GB).
+        # Weight decay is NOT passed to optax.adafactor: its
+        # weight_decay_rate applies AFTER internal lr scaling, so a raw
+        # tc.weight_decay (0.01) would decay params ~1%/step — ~lr/wd times
+        # stronger than adamw's decoupled lr·wd decay. Instead append an
+        # lr-scaled decay transform so both optimizers decay by lr·wd·param.
+        inner = optax.adafactor(learning_rate=sched)
+        if tc.weight_decay:
+            inner = optax.chain(inner, _lr_scaled_decay(tc.weight_decay, sched))
     else:
         inner = optax.adamw(sched, weight_decay=tc.weight_decay)
     tx = optax.chain(

@@ -27,7 +27,15 @@ log = logging.getLogger(__name__)
 
 
 def _to_uint8(video: np.ndarray, value_range: Tuple[float, float] = (-1, 1)) -> np.ndarray:
-    """[C, T, H, W] float in value_range → [T, H, W, C] uint8."""
+    """[C, T, H, W] float in value_range → [T, H, W, C] uint8.
+
+    uint8 input passes through (already-quantized frames, e.g. the pipeline's
+    on-device output_uint8 path): [T, H, W, C] as-is, [C, T, H, W] transposed."""
+    video = np.asarray(video)
+    if video.dtype == np.uint8:
+        if video.ndim == 4 and video.shape[0] in (1, 3) and video.shape[-1] not in (1, 3):
+            return video.transpose(1, 2, 3, 0)
+        return video
     video = np.asarray(video, np.float32)
     if video.ndim == 4 and video.shape[0] in (1, 3) and value_range == (-1, 1):
         # fused native path (single pass clip+scale+transpose)

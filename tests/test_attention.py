@@ -178,6 +178,31 @@ def test_pallas_flash_bounded_softmax_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=2e-3)
 
 
+def test_bounded_softmax_huge_norm_guard():
+    """Rows far below the global Cauchy-Schwarz bound must NOT be zeroed:
+    when the worst-case slack approaches f32 exp2's underflow range (e.g.
+    qk-norm gains grown by a finetune), the dispatch falls back to the
+    max-tracked kernel via lax.cond — output still a correct softmax."""
+    rng = np.random.default_rng(3)
+    B, L, N, D = 1, 256, 2, 128
+    q = rng.standard_normal((B, L, N, D)).astype(np.float32)
+    k = rng.standard_normal((B, L, N, D)).astype(np.float32)
+    v = rng.standard_normal((B, L, N, D)).astype(np.float32)
+    # blow up ONE k row so the global bound dwarfs every other row's max
+    # logit: under the unguarded bounded kernel all other rows' exp2 terms
+    # flush to zero and those rows emit zeros
+    k[0, 0, :, :] *= 3e4
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    ref = attention_xla(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True,
+                          assume_normalized=True)
+    assert np.isfinite(np.asarray(out)).all()
+    # without the guard, rows that don't attend to the huge key are ~0
+    assert float(jnp.max(jnp.abs(out[:, 1:]))) > 1e-3
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_dit_passes_assume_normalized(monkeypatch):
     """wan_block_apply must hand assume_normalized=cfg.qk_norm to the
     attention dispatch (both self- and cross-attention) — a silent loss of

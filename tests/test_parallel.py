@@ -174,6 +174,76 @@ def test_sp_dit_hybrid_matches():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-5)
 
 
+def test_sp_dit_padded_seq_matches():
+    """Ring/hybrid SP with a seq_len that REQUIRES padding (L_nat=45 rounded
+    to 48 for sp=4) equals the natural-length single-device forward — the
+    reference's sp-multiple seq rounding (x2x_gen_unified.py:332-334). The
+    padding validity mask travels the ring with its K/V block."""
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.configs.base import WanDiTConfig
+    from omnivideo_tpu.models.wan_dit import SPConfig, init_wan_dit, wan_dit_apply
+
+    cfg = WanDiTConfig(
+        patch_size=(1, 2, 2), text_len=16, in_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=48, out_dim=4, num_heads=4, num_layers=2,
+    )
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["head"]["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["kernel"].shape
+    ) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 5, 6, 6))  # L_nat=45
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 48))
+    ref = wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla")
+
+    mesh = create_mesh(dp=1, fsdp=1, sp=4)
+    for mode in ("ulysses", "ring"):
+        with mesh:
+            out = wan_dit_apply(
+                params, cfg, x, t, ctx, attn_impl="xla", seq_len=48,
+                sp=SPConfig(mesh=mesh, mode=mode),
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-5, err_msg=mode
+        )
+
+    mesh = create_mesh(dp=1, fsdp=2, sp=2)
+    with mesh:
+        out = wan_dit_apply(
+            params, cfg, x, t, ctx, attn_impl="xla", seq_len=48,
+            sp=SPConfig(mesh=mesh, mode="hybrid"),
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-5, err_msg="hybrid")
+
+
+def test_ring_padded_kv_mask_matches_masked_attention():
+    """ring_attention(kv_lens=...) — both impls' mask handling — equals full
+    attention with -inf-masked padded keys, including a FULLY padded shard
+    (the phantom-mass guard)."""
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.parallel.ring import ring_attention
+
+    rng = np.random.default_rng(4)
+    B, L, N, D = 1, 32, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    # kv_len=20 with 4 shards of 8: shard 2 is PARTIALLY padded (rows 20-23),
+    # shard 3 FULLY padded
+    lens = jnp.asarray([20], jnp.int32)
+
+    from omnivideo_tpu.ops.attention import attention_xla
+
+    ref = attention_xla(q, k, v, kv_lens=lens)
+    mesh = create_mesh(dp=1, fsdp=1, sp=4)
+    out = ring_attention(q, k, v, mesh, axis="seq", kv_lens=lens)
+    np.testing.assert_allclose(np.asarray(out[:, :20]), np.asarray(ref[:, :20]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_generate_with_sequence_parallel():
     """Full generate() under Ulysses SP on the virtual mesh equals the
     single-device generate (reference BASELINE config 5 parity)."""

@@ -733,6 +733,35 @@ def test_grad_accumulation_matches_large_batch():
                                rtol=1e-6)
 
 
+def test_adafactor_weight_decay_is_lr_scaled():
+    """optax.adafactor's own weight_decay_rate applies UNSCALED by lr (it
+    runs after the internal lr multiply): a raw 0.01 would decay params
+    ~1%/step, ~lr/wd times stronger than adamw's decoupled lr·wd and enough
+    to destroy a finetune in a few hundred steps. make_optimizer must emit
+    a decay of ~lr·wd·param per step instead (ADVICE r3, medium)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from omnivideo_tpu.training.trainer import TrainConfig, make_optimizer
+
+    lr, wd = 3e-4, 0.01
+    tc = TrainConfig(learning_rate=lr, weight_decay=wd, optimizer="adafactor",
+                     warmup_steps=0, total_steps=100, grad_clip=1e9)
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    tx = make_optimizer(tc, params)
+    state = tx.init(params)
+    # near-zero gradient: the update is ~pure weight decay
+    grads = {"w": jnp.full((4, 4), 1e-30, jnp.float32)}
+    updates, state = tx.update(grads, state, params)
+    params2 = optax.apply_updates(params, updates)
+    per_step = float(jnp.mean(jnp.abs(params2["w"] - params["w"])))
+    # decoupled lr-scaled decay: |Δw| ≈ lr·wd·|w| = 3e-6 (adafactor's own
+    # epsilons perturb this by <2x); the broken form gives ~1e-2
+    assert per_step < 5e-5, per_step
+    assert per_step > 1e-7, per_step
+
+
 def test_logit_normal_timestep_sampling():
     """SD3-style logit-normal density (reference weighting_scheme,
     omnivideo_mixed_task_1_3B.yaml:54-57): mid-noise concentration, valid

@@ -46,6 +46,27 @@ def test_video_mp4_fallback_is_playable_avi(tmp_path):
     assert abs(fps - 12) < 0.5
 
 
+def test_on_device_uint8_matches_host_quantization(tmp_path):
+    """pipelines.x2x.video_to_uint8_frames (on-device quantize, 4x smaller
+    tunnel fetch) must be byte-identical to utils.video._to_uint8, and
+    save_video must pass the pre-quantized frames through untouched."""
+    from omnivideo_tpu.pipelines.x2x import video_to_uint8_frames
+    from omnivideo_tpu.utils.video import _to_uint8
+
+    rng = np.random.default_rng(5)
+    v = rng.uniform(-1.3, 1.3, (3, 4, 16, 16)).astype(np.float32)
+    host = _to_uint8(v)
+    dev = np.asarray(video_to_uint8_frames(v))
+    assert dev.shape == host.shape == (4, 16, 16, 3)
+    np.testing.assert_array_equal(dev, host)
+    # uint8 passthrough (THWC and CTHW forms)
+    np.testing.assert_array_equal(_to_uint8(host), host)
+    np.testing.assert_array_equal(_to_uint8(host.transpose(3, 0, 1, 2)), host)
+    out = save_video(str(tmp_path / "clip.npz"), dev, fps=8)
+    frames, _ = read_video_frames(out)
+    np.testing.assert_array_equal(frames, host)
+
+
 def test_mjpeg_avi_container_structure(tmp_path):
     """RIFF/AVI header invariants + frame count + JPEG fidelity."""
     import struct

@@ -45,9 +45,10 @@ def main():
         fa._BLOCK_ROWS = args.rows
 
     def run(tag, enable):
-        os.environ["OMNIVIDEO_FUSED_ADALN"] = "1" if enable else "0"
+        ew = "pallas" if enable else "xla"
         fwd = jax.jit(lambda p, x, t, c: jnp.sum(
-            wd.wan_dit_apply(p, dit_cfg, x, t, c, attn_impl="pallas")
+            wd.wan_dit_apply(p, dit_cfg, x, t, c, attn_impl="pallas",
+                             ew_impl=ew)
             .astype(jnp.float32)))
         val = float(fwd(params, x, t, ctx))  # compile + warm
         t0 = time.perf_counter()

@@ -278,6 +278,8 @@ def main():
                 max_steps_per_call=args.max_steps_per_call,
                 vae_dtype=(None if args.vae_dtype is None
                            else getattr(jnp, args.vae_dtype)),
+                output_uint8=(frame_num > 1),  # quantize on device: 4x
+                # smaller host fetch (the f32 fetch dominated e2e variance)
                 **kw,
             )
         dt = time.time() - t0
