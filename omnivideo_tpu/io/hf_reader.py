@@ -50,6 +50,41 @@ def load_hf_config(model_dir: str) -> dict:
     return json.loads((Path(model_dir) / "config.json").read_text())
 
 
+class FastTokenizer:
+    """Minimal tokenizer over a checkpoint's tokenizer.json — `tokenizers`
+    only, because in this image `import transformers` eagerly imports torch,
+    which the TPU deployment path must never load. API subset used by the
+    engine/preprocess stack: __call__(text, add_special_tokens)["input_ids"],
+    decode(ids, skip_special_tokens), eos_token_id."""
+
+    def __init__(self, model_dir: str):
+        from tokenizers import Tokenizer
+
+        d = Path(model_dir)
+        self._tk = Tokenizer.from_file(str(d / "tokenizer.json"))
+        self.eos_token_id = None
+        tc = d / "tokenizer_config.json"
+        if tc.exists():
+            cfg = json.loads(tc.read_text())
+            eos = cfg.get("eos_token")
+            if isinstance(eos, dict):
+                eos = eos.get("content")
+            if eos is not None:
+                self.eos_token_id = self._tk.token_to_id(eos)
+
+    def __call__(self, text: str, add_special_tokens: bool = True):
+        enc = self._tk.encode(text, add_special_tokens=add_special_tokens)
+        return {"input_ids": enc.ids}
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        return self._tk.decode(list(int(i) for i in ids),
+                               skip_special_tokens=skip_special_tokens)
+
+
+def load_fast_tokenizer(model_dir: str) -> FastTokenizer:
+    return FastTokenizer(model_dir)
+
+
 def qwen3_text_config_from_hf(model_dir: str):
     """Build a Qwen3TextConfig from a HF config.json (plain Qwen3/Qwen3Moe or
     the text_config of a Qwen3-VL checkpoint)."""

@@ -10,12 +10,16 @@ Backends:
 - "hf":   transformers AutoModelForImageTextToText on host (CPU here; GPU/TPU
           via torch-xla elsewhere). Functional parity path; works with real
           Qwen3-VL checkpoints and with tiny random configs in tests.
-- "jax":  TPU-native compute: vision tower + interleaved-MRoPE text decoder +
-          deepstack injection (full_model.py, HF-parity-tested) run in JAX for
-          BOTH flows — feature extraction (qwen3vl_forward) and greedy caption
-          decoding (qwen3vl_greedy_decode, token-exact vs HF). The HF stack
-          remains only for host-side preprocessing (tokenizer, chat template,
-          video processor).
+- "jax":  the TPU deployment path, fully TORCH-FREE: weights stream straight
+          from the checkpoint's .safetensors shards (io/hf_reader.py — no HF
+          torch model is ever instantiated, so no 2x host-RAM spike at 30B),
+          preprocessing is native (models/qwen3vl/preprocess.py: codec-less
+          frame sampling, smart-resize, patchify, chat template with the
+          per-frame `<t seconds>` video expansion), and BOTH flows run in
+          JAX — feature extraction via qwen3vl_forward and greedy caption
+          decoding via qwen3vl_greedy_decode (token-exact vs HF). Only the
+          checkpoint's tokenizer.json is loaded (fast tokenizer; torch stays
+          unimported — asserted by tests/test_vlm_eval.py).
 
 The pipeline's `precomputed_context` / offline-feature path
 (x2x_gen_unified.py:353-354) remains the escape hatch: the DiT never requires
@@ -87,17 +91,11 @@ class Qwen3VLEngine:
         if cfg.backend == "hf":
             self._init_hf()
         elif cfg.backend == "jax":
-            # JAX forward for feature extraction (vision tower + MRoPE text +
-            # deepstack, parity-tested vs HF); the HF stack is kept for
-            # host-side preprocessing (tokenizer/chat template/video
-            # processor) and for caption generation (MRoPE KV-cache decode is
-            # the remaining JAX piece).
-            self._init_hf()
-            self._init_jax_params()
+            self._init_jax()
         else:
             raise ValueError(cfg.backend)
 
-    # -- hf backend --------------------------------------------------------
+    # -- hf backend ----------------------------------------------------------
     def _init_hf(self):
         import torch
         from transformers import AutoModelForImageTextToText, AutoProcessor
@@ -137,124 +135,235 @@ class Qwen3VLEngine:
             out[k] = v
         return out
 
-    def _generate(self, messages) -> str:
+    def _generate_hf(self, messages) -> str:
         torch = self._torch
         inputs = self._run_template(messages)
-        if self.cfg.backend == "jax" and self.cfg.temperature == 0:
-            import jax.numpy as jnp
-
-            from .full_model import qwen3vl_greedy_decode
-
-            pixel = inputs.get("pixel_values_videos", inputs.get("pixel_values"))
-            gk = "video_grid_thw" if "video_grid_thw" in inputs else "image_grid_thw"
-            grid = tuple(int(v) for v in inputs[gk][0]) if pixel is not None else None
-            eos = self.model.config.text_config.eos_token_id or getattr(
-                self.model.generation_config, "eos_token_id", None
+        with torch.no_grad():
+            gen = self.model.generate(
+                **inputs,
+                max_new_tokens=self.cfg.max_new_tokens,
+                do_sample=self.cfg.temperature > 0,
             )
-            if isinstance(eos, (list, tuple)):
-                eos = eos[0]
-            toks = qwen3vl_greedy_decode(
-                self.jax_params, self.jax_cfg, inputs["input_ids"].numpy(),
-                jnp.asarray(pixel.float().numpy()) if pixel is not None else None,
-                grid, max_new_tokens=self.cfg.max_new_tokens, eos_token_id=eos,
-                is_video=gk.startswith("video") if pixel is not None else True,
-            )
-            trimmed = torch.from_numpy(np.asarray(toks))[None]
-        else:
-            with torch.no_grad():
-                gen = self.model.generate(
-                    **inputs,
-                    max_new_tokens=self.cfg.max_new_tokens,
-                    do_sample=self.cfg.temperature > 0,
-                )
-            trimmed = gen[:, inputs["input_ids"].shape[1]:]
+        trimmed = gen[:, inputs["input_ids"].shape[1]:]
         text = self.processor.batch_decode(
             trimmed, skip_special_tokens=True, clean_up_tokenization_spaces=False
         )[0]
         return text.strip()
 
+    # -- jax backend (torch-free) ---------------------------------------------
     @staticmethod
     def jax_cfg_from_hf(hf_cfg):
-        """Map an HF Qwen3VLConfig to this repo's Qwen3VLConfig."""
+        """Map an HF Qwen3VLConfig object to this repo's Qwen3VLConfig."""
+        tc, vc = hf_cfg.text_config, hf_cfg.vision_config
+        d = {
+            "text_config": tc.to_dict(), "vision_config": vc.to_dict(),
+            "video_token_id": hf_cfg.video_token_id,
+            "image_token_id": hf_cfg.image_token_id,
+            "vision_start_token_id": hf_cfg.vision_start_token_id,
+        }
+        return Qwen3VLEngine.jax_cfg_from_dict(d)
+
+    @staticmethod
+    def jax_cfg_from_dict(d: dict):
+        """Build this repo's Qwen3VLConfig from a checkpoint's config.json
+        dict — no transformers config classes needed."""
         from .full_model import Qwen3VLConfig
         from .text_model import Qwen3TextConfig
         from .vision_model import Qwen3VLVisionConfig as JVis
 
-        tc, vc = hf_cfg.text_config, hf_cfg.vision_config
-        rope_scaling = getattr(tc, "rope_scaling", None) or {}
+        tc, vc = d["text_config"], d["vision_config"]
+        rope_scaling = tc.get("rope_scaling") or {}
         return Qwen3VLConfig(
             text=Qwen3TextConfig(
-                vocab_size=tc.vocab_size,
-                hidden_size=tc.hidden_size,
-                intermediate_size=tc.intermediate_size,
-                num_hidden_layers=tc.num_hidden_layers,
-                num_attention_heads=tc.num_attention_heads,
-                num_key_value_heads=tc.num_key_value_heads,
-                head_dim=getattr(tc, "head_dim", tc.hidden_size // tc.num_attention_heads),
-                rope_theta=tc.rope_theta,
-                rms_norm_eps=tc.rms_norm_eps,
-                num_experts=getattr(tc, "num_experts", None),
-                num_experts_per_tok=getattr(tc, "num_experts_per_tok", 8),
-                moe_intermediate_size=getattr(tc, "moe_intermediate_size", 768),
-                norm_topk_prob=getattr(tc, "norm_topk_prob", True),
+                vocab_size=tc["vocab_size"],
+                hidden_size=tc["hidden_size"],
+                intermediate_size=tc.get("intermediate_size", 0),
+                num_hidden_layers=tc["num_hidden_layers"],
+                num_attention_heads=tc["num_attention_heads"],
+                num_key_value_heads=tc["num_key_value_heads"],
+                head_dim=tc.get("head_dim",
+                                tc["hidden_size"] // tc["num_attention_heads"]),
+                rope_theta=tc.get("rope_theta", 1e6),
+                rms_norm_eps=tc.get("rms_norm_eps", 1e-6),
+                num_experts=tc.get("num_experts"),
+                num_experts_per_tok=tc.get("num_experts_per_tok", 8),
+                moe_intermediate_size=tc.get("moe_intermediate_size", 768),
+                norm_topk_prob=tc.get("norm_topk_prob", True),
             ),
             vision=JVis(
-                hidden_size=vc.hidden_size,
-                intermediate_size=vc.intermediate_size,
-                depth=vc.depth,
-                num_heads=vc.num_heads,
-                in_channels=vc.in_channels,
-                patch_size=vc.patch_size,
-                temporal_patch_size=vc.temporal_patch_size,
-                spatial_merge_size=vc.spatial_merge_size,
-                out_hidden_size=vc.out_hidden_size,
-                num_position_embeddings=vc.num_position_embeddings,
-                deepstack_visual_indexes=tuple(vc.deepstack_visual_indexes),
+                hidden_size=vc["hidden_size"],
+                intermediate_size=vc["intermediate_size"],
+                depth=vc["depth"],
+                num_heads=vc["num_heads"],
+                in_channels=vc.get("in_channels", 3),
+                patch_size=vc["patch_size"],
+                temporal_patch_size=vc["temporal_patch_size"],
+                spatial_merge_size=vc["spatial_merge_size"],
+                out_hidden_size=vc["out_hidden_size"],
+                num_position_embeddings=vc["num_position_embeddings"],
+                deepstack_visual_indexes=tuple(vc["deepstack_visual_indexes"]),
             ),
             mrope_section=tuple(rope_scaling.get("mrope_section", (24, 20, 20))),
-            video_token_id=hf_cfg.video_token_id,
-            image_token_id=hf_cfg.image_token_id,
-            vision_start_token_id=hf_cfg.vision_start_token_id,
+            video_token_id=d.get("video_token_id", 151656),
+            image_token_id=d.get("image_token_id", 151655),
+            vision_start_token_id=d.get("vision_start_token_id", 151652),
         )
 
-    def _init_jax_params(self):
-        import jax
-
+    def _init_jax(self):
+        """Torch-free init: config.json → Qwen3VLConfig, tokenizer.json →
+        fast tokenizer (`tokenizers` directly — even `import transformers`
+        pulls torch in this image), .safetensors → param pytree (bf16
+        preserved). Replaces the HF AutoModel load of vllm_model.py:24-103."""
+        from ...io.hf_reader import (
+            load_fast_tokenizer, load_hf_config, load_hf_safetensors)
         from .full_model import qwen3vl_hf_to_params
 
-        self.jax_cfg = self.jax_cfg_from_hf(self.model.config)
-        sd = {k: v.float().numpy() for k, v in self.model.state_dict().items()}
+        cfg = self.cfg
+        cfg_dict = load_hf_config(cfg.model_path)
+        self.jax_cfg = self.jax_cfg_from_dict(cfg_dict)
+        self.tokenizer = load_fast_tokenizer(cfg.model_path)
+        sd = load_hf_safetensors(cfg.model_path)
         self.jax_params = qwen3vl_hf_to_params(sd, self.jax_cfg)
-        if self.cfg.fsdp > 1:
+        del sd
+
+        eos = cfg_dict.get("text_config", {}).get("eos_token_id")
+        if eos is None:
+            import json
+            from pathlib import Path
+
+            gc = Path(cfg.model_path) / "generation_config.json"
+            if gc.exists():
+                eos = json.loads(gc.read_text()).get("eos_token_id")
+        if isinstance(eos, (list, tuple)):
+            eos = eos[0]
+        self._eos = eos if eos is not None else self.tokenizer.eos_token_id
+
+        if cfg.fsdp > 1:
+            import jax
+
             from ...parallel.mesh import create_mesh
             from ...parallel.sharding import params_shardings
 
-            self.mesh = create_mesh(1, self.cfg.fsdp, 1)
+            self.mesh = create_mesh(1, cfg.fsdp, 1)
             sh = params_shardings(self.jax_params, self.mesh)
             self.jax_params = jax.tree_util.tree_map(
                 jax.device_put, self.jax_params, sh
             )
-            log.info("VLM params FSDP-sharded over %d devices", self.cfg.fsdp)
+            log.info("VLM params FSDP-sharded over %d devices", cfg.fsdp)
 
-    def _extract_hidden_jax(self, inputs) -> np.ndarray:
+    def _native_inputs(
+        self,
+        user_text: str,
+        system_prompt: Optional[str],
+        video_path: Optional[str] = None,
+        feature_extraction: bool = False,
+    ):
+        """(ids [1,L], patches|None, grid|None) via the native preprocessing
+        stack — the torch-free analog of processor.apply_chat_template."""
+        from .preprocess import build_chat_ids, preprocess_video_timestamps
+
+        patches = grid = ts = None
+        if video_path and os.path.exists(video_path):
+            vc = self.jax_cfg.vision
+            short = self.cfg.target_short_side
+            if feature_extraction:
+                # reference pixel budget for the feature pass
+                # (vllm_model.py + _chat_template_kwargs: 480..1920 px)
+                min_px, max_px = 480, 1920
+            else:
+                min_px, max_px = short * short, short * short * 4
+            patches, grid, ts = preprocess_video_timestamps(
+                video_path,
+                patch_size=vc.patch_size,
+                temporal_patch_size=vc.temporal_patch_size,
+                merge_size=vc.spatial_merge_size,
+                nframes=self.cfg.video_nframes,
+                min_pixels=min_px, max_pixels=max_px,
+            )
+        ids = build_chat_ids(
+            self.tokenizer, user_text, system_prompt=system_prompt,
+            grid=grid, timestamps=ts,
+            merge_size=self.jax_cfg.vision.spatial_merge_size, is_video=True,
+        )
+        return ids, patches, grid
+
+    def _generate_jax(self, user_text: str, system_prompt: Optional[str],
+                      video_path: Optional[str] = None) -> str:
+        import jax.numpy as jnp
+
+        from .full_model import qwen3vl_greedy_decode
+
+        ids, patches, grid = self._native_inputs(user_text, system_prompt,
+                                                 video_path)
+        toks = qwen3vl_greedy_decode(
+            self.jax_params, self.jax_cfg, ids,
+            jnp.asarray(patches) if patches is not None else None,
+            grid, max_new_tokens=self.cfg.max_new_tokens,
+            eos_token_id=self._eos, is_video=True,
+            temperature=self.cfg.temperature,
+        )
+        toks = [int(t) for t in np.asarray(toks).tolist() if t != self._eos]
+        return self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+
+    def _extract_hidden_jax(self, ids, patches, grid) -> np.ndarray:
         """Run the multimodal forward in JAX; returns [1, L, D] numpy."""
         import jax.numpy as jnp
 
         from .full_model import qwen3vl_forward
 
-        ids = inputs["input_ids"].numpy()
-        pixel = inputs.get("pixel_values_videos", inputs.get("pixel_values"))
-        grid_key = "video_grid_thw" if "video_grid_thw" in inputs else "image_grid_thw"
-        if pixel is not None:
-            grid = tuple(int(v) for v in inputs[grid_key][0])
+        if patches is not None:
             hidden = qwen3vl_forward(
                 self.jax_params, self.jax_cfg, ids,
-                jnp.asarray(pixel.float().numpy()), grid,
-                is_video=grid_key.startswith("video"),
+                jnp.asarray(patches), grid, is_video=True,
             )
         else:
             hidden = qwen3vl_forward(self.jax_params, self.jax_cfg, ids)
         return np.asarray(hidden, np.float32)
+
+    def _generate(self, messages) -> str:
+        """Backend-dispatching chat generation over the reference's message
+        structure (system + user[video|image|text...]) — used by
+        utils.prompt_extend.QwenPromptExpander."""
+        if self.cfg.backend == "hf":
+            return self._generate_hf(messages)
+        system_prompt, user_text, video, image = None, "", None, None
+        for msg in messages:
+            content = msg.get("content", [])
+            if isinstance(content, str):
+                content = [{"type": "text", "text": content}]
+            for ele in content:
+                if msg.get("role") == "system" and ele.get("type") == "text":
+                    system_prompt = ele["text"]
+                elif ele.get("type") == "text":
+                    user_text += ele["text"]
+                elif ele.get("type") == "video":
+                    video = ele.get("video")
+                elif ele.get("type") == "image":
+                    image = ele.get("image")
+        if image is not None:
+            import jax.numpy as jnp
+
+            from .full_model import qwen3vl_greedy_decode
+            from .preprocess import build_chat_ids, preprocess_image
+
+            vc = self.jax_cfg.vision
+            short = self.cfg.target_short_side
+            patches, grid = preprocess_image(
+                image, patch_size=vc.patch_size,
+                temporal_patch_size=vc.temporal_patch_size,
+                merge_size=vc.spatial_merge_size,
+                min_pixels=short * short, max_pixels=short * short * 4)
+            ids = build_chat_ids(
+                self.tokenizer, user_text, system_prompt=system_prompt,
+                grid=grid, merge_size=vc.spatial_merge_size, is_video=False)
+            toks = qwen3vl_greedy_decode(
+                self.jax_params, self.jax_cfg, ids, jnp.asarray(patches),
+                grid, max_new_tokens=self.cfg.max_new_tokens,
+                eos_token_id=self._eos, is_video=False,
+                temperature=self.cfg.temperature)
+            toks = [int(t) for t in np.asarray(toks).tolist() if t != self._eos]
+            return self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+        return self._generate_jax(user_text, system_prompt, video)
 
     # -- public flows (mirror vllm_model.py) --------------------------------
 
@@ -264,20 +373,20 @@ class Qwen3VLEngine:
         """Detailed source-video caption (vllm_model.py:110-203)."""
         if not video_path or not os.path.exists(video_path):
             return ""
+        ask = "Please provide a detailed, fine-grained caption for this video."
+        if self.cfg.backend == "jax":
+            return self._generate_jax(ask, system_prompt, video_path)
         messages = [
             {"role": "system", "content": [{"type": "text", "text": system_prompt}]},
             {
                 "role": "user",
                 "content": [
                     {"type": "video", "video": video_path},
-                    {
-                        "type": "text",
-                        "text": "Please provide a detailed, fine-grained caption for this video.",
-                    },
+                    {"type": "text", "text": ask},
                 ],
             },
         ]
-        return self._generate(messages)
+        return self._generate_hf(messages)
 
     def predict_target_video_caption(
         self,
@@ -298,11 +407,13 @@ class Qwen3VLEngine:
                 "Expand this short prompt into a detailed, descriptive video "
                 f"caption: {edit_prompt}"
             )
+        if self.cfg.backend == "jax":
+            return self._generate_jax(user_text, system_prompt)
         messages = [
             {"role": "system", "content": [{"type": "text", "text": system_prompt}]},
             {"role": "user", "content": [{"type": "text", "text": user_text}]},
         ]
-        return self._generate(messages)
+        return self._generate_hf(messages)
 
     def extract_features(
         self,
@@ -312,30 +423,36 @@ class Qwen3VLEngine:
     ) -> Dict[str, Any]:
         """Last-hidden-state conditioning features with system-prefix dropped
         (vllm_model.py:313-413)."""
-        torch = self._torch
-        drop_idx = compute_system_prompt_drop_idx(self.processor.tokenizer, system_prompt)
-
-        user_content = []
-        if source_video_path and os.path.exists(source_video_path):
-            user_content.append({"type": "video", "video": source_video_path})
-        user_content.append({"type": "text", "text": edit_prompt})
-        messages = [
-            {"role": "system", "content": [{"type": "text", "text": system_prompt}]},
-            {"role": "user", "content": user_content},
-        ]
-        inputs = self._run_template(messages, feature_extraction=True)
         if self.cfg.backend == "jax":
-            hidden = self._extract_hidden_jax(inputs)
+            drop_idx = compute_system_prompt_drop_idx(self.tokenizer, system_prompt)
+            ids, patches, grid = self._native_inputs(
+                edit_prompt, system_prompt, source_video_path,
+                feature_extraction=True)
+            hidden = self._extract_hidden_jax(ids, patches, grid)
+            valid = hidden[0]  # native path emits no padding (batch 1)
         else:
+            torch = self._torch
+            drop_idx = compute_system_prompt_drop_idx(
+                self.processor.tokenizer, system_prompt)
+            user_content = []
+            if source_video_path and os.path.exists(source_video_path):
+                user_content.append({"type": "video", "video": source_video_path})
+            user_content.append({"type": "text", "text": edit_prompt})
+            messages = [
+                {"role": "system", "content": [{"type": "text", "text": system_prompt}]},
+                {"role": "user", "content": user_content},
+            ]
+            inputs = self._run_template(messages, feature_extraction=True)
             with torch.no_grad():
-                outputs = self.model(**inputs, output_hidden_states=True, return_dict=True)
+                outputs = self.model(**inputs, output_hidden_states=True,
+                                     return_dict=True)
             hidden = outputs.hidden_states[-1].float().numpy()
-        mask = (
-            inputs["attention_mask"].numpy()
-            if "attention_mask" in inputs
-            else np.ones(hidden.shape[:2], np.int64)
-        )
-        valid = extract_masked_hidden(hidden, mask)[0]
+            mask = (
+                inputs["attention_mask"].numpy()
+                if "attention_mask" in inputs
+                else np.ones(hidden.shape[:2], np.int64)
+            )
+            valid = extract_masked_hidden(hidden, mask)[0]
         if drop_idx > 0 and valid.shape[0] > drop_idx:
             valid = valid[drop_idx:]
         return {

@@ -109,6 +109,56 @@ def preprocess_video(
     return frames_to_patches(frames, patch_size, temporal_patch_size, merge_size)
 
 
+def preprocess_video_timestamps(
+    path: str,
+    patch_size: int = 16,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    nframes: int = 6,
+    min_pixels: int = 4 * 28 * 28,
+    max_pixels: int = 16384 * 28 * 28,
+):
+    """Video file → (patches, grid, per-grid-frame timestamps [s]).
+
+    The Qwen3-VL prompt interleaves a `<{t:.1f} seconds>` text token group
+    before every temporal grid frame's vision tokens (HF Qwen3VLProcessor);
+    timestamps are the sampled frame indices / fps, averaged over each
+    merge-size group — reproduced here so the TPU deployment path needs no
+    HF processor (role of vllm_model.py:30-85 preprocessing)."""
+    from ...utils.qwen_vl_media import round_by_factor
+    from ...utils.video import read_video_frames
+
+    frames, video_fps = read_video_frames(path)
+    total = len(frames)
+    n = max(temporal_patch_size,
+            min(round_by_factor(nframes, temporal_patch_size), total))
+    idx = np.linspace(0, total - 1, n).round().astype(int)
+    sel = frames[idx]
+
+    f = patch_size * merge_size
+    H, W = sel.shape[1:3]
+    rh, rw = smart_resize(H, W, factor=f, min_pixels=min_pixels,
+                          max_pixels=max_pixels)
+    if (rh, rw) != (H, W):
+        from PIL import Image
+
+        sel = np.stack([
+            np.asarray(Image.fromarray(fr).resize((rw, rh), Image.BICUBIC))
+            for fr in sel
+        ])
+    patches, grid = frames_to_patches(sel, patch_size, temporal_patch_size,
+                                      merge_size)
+    # HF Qwen3VLProcessor._calculate_timestamps: pad indices to a merge_size
+    # multiple, convert to seconds, average each group of merge_size
+    ind = list(idx)
+    if len(ind) % merge_size:
+        ind.extend(ind[-1] for _ in range(merge_size - len(ind) % merge_size))
+    ts = [i / video_fps for i in ind]
+    ts = [(ts[i] + ts[i + merge_size - 1]) / 2
+          for i in range(0, len(ts), merge_size)]
+    return patches, grid, ts[: grid[0]]
+
+
 # ---------------------------------------------------------------------------
 # prompt assembly (the Qwen3-VL chat template, hand-rolled)
 # ---------------------------------------------------------------------------
@@ -117,6 +167,44 @@ VISION_START = "<|vision_start|>"
 VISION_END = "<|vision_end|>"
 IMAGE_PAD = "<|image_pad|>"
 VIDEO_PAD = "<|video_pad|>"
+
+
+def build_chat_ids(
+    tokenizer,
+    user_text: str,
+    system_prompt: Optional[str] = None,
+    grid: Optional[Tuple[int, int, int]] = None,
+    timestamps: Optional[Sequence[float]] = None,
+    merge_size: int = 2,
+    is_video: bool = True,
+) -> np.ndarray:
+    """Token ids for a full Qwen3-VL chat turn, HF-processor-free.
+
+    Renders `<system?> user(<video?> text) assistant` with the processor's
+    video expansion: per temporal grid frame, `<{t:.1f} seconds>` +
+    vision_start + grid_h·grid_w/merge² pad tokens + vision_end (HF
+    Qwen3VLProcessor.__call__). Vision tokens precede the user text, matching
+    the chat template's content ordering."""
+    parts = []
+    if system_prompt:
+        parts.append(f"<|im_start|>system\n{system_prompt}<|im_end|>\n")
+    vision = ""
+    if grid is not None:
+        gt, gh, gw = grid
+        frame_seqlen = gh * gw // (merge_size ** 2)
+        pad = VIDEO_PAD if is_video else IMAGE_PAD
+        if is_video:
+            ts = list(timestamps if timestamps is not None
+                      else [float(i) for i in range(gt)])
+            for i in range(gt):
+                vision += (f"<{ts[i]:.1f} seconds>"
+                           + VISION_START + pad * frame_seqlen + VISION_END)
+        else:
+            vision = VISION_START + pad * (gt * frame_seqlen) + VISION_END
+    parts.append(f"<|im_start|>user\n{vision}{user_text}<|im_end|>\n")
+    parts.append("<|im_start|>assistant\n")
+    ids = tokenizer("".join(parts), add_special_tokens=False)["input_ids"]
+    return np.asarray([ids], np.int32)
 
 
 def build_vqa_ids(

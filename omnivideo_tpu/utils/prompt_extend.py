@@ -136,9 +136,11 @@ class DashScopePromptExpander(PromptExpander):
 
 class QwenPromptExpander(PromptExpander):
     """Local Qwen expander (reference prompt_extend.py:261+) — runs the
-    Qwen3-VL engine (HF backend today, JAX backend as it lands)."""
+    Qwen3-VL engine. backend="jax" is the torch-free TPU deployment path
+    (safetensors weights + native preprocessing + JAX greedy decode,
+    token-exact vs HF); backend="hf" keeps the transformers host path."""
 
-    def __init__(self, model_name=None, backend="hf", max_new_tokens=512, **kwargs):
+    def __init__(self, model_name=None, backend="jax", max_new_tokens=512, **kwargs):
         super().__init__(model_name=model_name, **kwargs)
         from ..models.qwen3vl.engine import Qwen3VLEngine, VLMConfig
 

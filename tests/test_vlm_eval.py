@@ -170,6 +170,77 @@ def test_eval_vlm_end_to_end(tiny_ckpt_dir, vqa_fixture):
 
 
 # ---------------------------------------------------------------------------
+# torch-free jax backend (VERDICT r3 item 4): the engine must run with torch
+# and the HF model classes UNIMPORTED — safetensors weights, native
+# preprocessing, tokenizer.json only
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_engine_jax_backend_is_torch_free(tiny_ckpt_dir, tmp_path):
+    import subprocess
+    import sys as _sys
+
+    # a tiny codec-less video for the multimodal flows
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (8, 24, 24, 3), dtype=np.uint8)
+    vid = tiny_ckpt_dir / "clip.npz"
+    np.savez_compressed(vid, frames=frames, fps=4)
+
+    script = f"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {str(Path(__file__).resolve().parents[1])!r})
+from omnivideo_tpu.models.qwen3vl.engine import Qwen3VLEngine, VLMConfig
+
+eng = Qwen3VLEngine(VLMConfig(model_path={str(tiny_ckpt_dir)!r}, backend="jax",
+                              max_new_tokens=4, video_nframes=4,
+                              target_short_side=32))
+# text-only caption (greedy decode, torch-free)
+cap = eng.predict_target_video_caption("", "tok3 tok4")
+# multimodal flows over the npz clip
+src = eng.generate_source_video_caption({str(vid)!r})
+feats = eng.extract_features({str(vid)!r}, "tok5 tok6")
+# raw hidden states for weight-load parity vs the torch forward (parent)
+ids, patches, grid = eng._native_inputs("tok5 tok6", "sys", None)
+hidden = eng._extract_hidden_jax(ids, None, None)
+np.savez({str(tmp_path / "out.npz")!r}, ids=ids, hidden=hidden)
+
+assert "torch" not in sys.modules, "torch imported on the jax backend!"
+bad = [m for m in sys.modules
+       if m.startswith("transformers.models.qwen3_vl.modeling")]
+assert not bad, bad
+print("RESULT:" + json.dumps(dict(
+    cap=cap, src=src, seq=int(feats["seq_len"]), dim=int(feats["hidden_dim"]))))
+"""
+    r = subprocess.run([_sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT:")][0]
+    res = json.loads(line[len("RESULT:"):])
+    assert res["dim"] == 48
+    assert res["seq"] > 0
+    assert isinstance(res["cap"], str) and isinstance(res["src"], str)
+
+    # weight-load parity: the safetensors-loaded JAX forward equals the torch
+    # forward on the same ids (pre-final-norm last hidden, vllm parity)
+    from transformers.models.qwen3_vl.modeling_qwen3_vl import (
+        Qwen3VLForConditionalGeneration,
+    )
+
+    data = np.load(tmp_path / "out.npz")
+    model = Qwen3VLForConditionalGeneration.from_pretrained(
+        tiny_ckpt_dir).eval().float()
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(data["ids"].astype(np.int64)),
+                    output_hidden_states=True, return_dict=True)
+    ref = out.hidden_states[-1].numpy()
+    np.testing.assert_allclose(data["hidden"], ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
 # benchmark format adapters + scoring modes (omnivideo_tpu/eval/vqa.py)
 # ---------------------------------------------------------------------------
 
