@@ -1,0 +1,182 @@
+"""Single-chip execution of DiT stacks whose parameters exceed HBM.
+
+Role of the reference's single-80GB-GPU A14B deployment
+(`/root/reference/omnivideo/x2x_gen_unified.py:261-540` runs the ~28 GB bf16
+dual-expert stack whole on one device; README.md:327 recommends 80 GB): a
+v5e chip has 16 GB of HBM, so the 40-block A14B DiT cannot be resident.
+`BlockStreamingExecutor` runs the block stack as a host→HBM pipeline:
+
+- a ring of `window` device-side block slots;
+- while block i computes, block i+1's parameters are already in flight
+  (JAX dispatch is asynchronous: `device_put` returns immediately and the
+  transfer engine runs concurrently with the compute stream);
+- one jitted block function is reused for every block (identical
+  shapes/dtypes → a single compile), so the program is 40 small dispatches
+  instead of one scan — each far below the axon tunnel's single-dispatch
+  walltime ceiling;
+- slots are released as soon as their compute is dispatched, bounding HBM
+  at `window` blocks + activations + resident (embed/head) params.
+
+The schedule hides the transfer when `t_transfer(block) ≤ t_compute(block)`
+— ~0.7 GB/block bf16 against ~0.6 s of 480p CFG batch-2 compute needs
+≥1.2 GB/s of host→device bandwidth (any PCIe-attached TPU host clears this;
+a tunneled remote chip may not — `tools/dev/bench_a14b_stream.py` measures
+both the achieved bandwidth and the overlap quality).
+
+Numerical parity of the streamed schedule vs the scanned forward is tested
+at small dims in tests/test_streaming.py; the chip run is the performance
+evidence.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.base import WanDiTConfig
+from ..models.wan_dit import (
+    WanAuxInputs,
+    patchify,
+    time_embeddings,
+    unpatchify,
+    wan_block_apply,
+    embed_context,
+)
+
+
+def _dense_np(p, x):
+    y = x @ p["kernel"]
+    return y + p["bias"].astype(y.dtype)
+
+
+class BlockStreamingExecutor:
+    """Streams a list of host-resident block param pytrees through a fixed
+    ring of device slots, overlapping transfer with compute.
+
+    host_blocks: sequence of per-block pytrees of HOST numpy arrays (entries
+    may alias each other — e.g. benchmark schedules). All blocks must share
+    shapes/dtypes (one jit cache entry).
+    """
+
+    def __init__(
+        self,
+        cfg: WanDiTConfig,
+        host_blocks: Sequence[Any],
+        window: int = 2,
+        attn_impl: str = "auto",
+        device=None,
+    ):
+        assert window >= 1
+        self.cfg = cfg
+        self.host_blocks = list(host_blocks)
+        self.window = window
+        self.device = device or jax.devices()[0]
+        self._block_fn = jax.jit(
+            functools.partial(self._apply, cfg=cfg, attn_impl=attn_impl)
+        )
+
+    @staticmethod
+    def _apply(bp, x, aux, *, cfg, attn_impl):
+        return wan_block_apply(bp, x, aux, cfg, attn_impl=attn_impl)
+
+    def _put(self, i):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, self.device), self.host_blocks[i]
+        )
+
+    def run_blocks(self, h: jnp.ndarray, aux: WanAuxInputs) -> jnp.ndarray:
+        """h: [B, L, dim] f32 token stream → after all blocks."""
+        n = len(self.host_blocks)
+        # commit h to the executor's device up front: block outputs are
+        # committed (their bp inputs are), and a committed/uncommitted h
+        # difference would split the jit cache into two entries
+        h = jax.device_put(h, self.device)
+        # prime the pipeline: first `window` blocks start transferring now
+        slots = {i: self._put(i) for i in range(min(self.window, n))}
+        for i in range(n):
+            h = self._block_fn(slots.pop(i), h, aux)
+            # with block i's compute dispatched, issue the transfer that
+            # keeps the pipeline `window` blocks ahead
+            nxt = i + self.window
+            if nxt < n:
+                slots[nxt] = self._put(nxt)
+        return h
+
+
+def wan_dit_stream_apply(
+    resident_params,
+    executor: BlockStreamingExecutor,
+    cfg: WanDiTConfig,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    context: jnp.ndarray,
+    *,
+    seq_len: Optional[int] = None,
+    context_embedded: bool = False,
+) -> jnp.ndarray:
+    """Full DiT forward with the block stack streamed from host memory.
+
+    resident_params: the non-block leaves of the usual param pytree
+    (patch/text/time embeddings, time_projection, head) — ~0.3 GB bf16 at
+    A14B dims, kept on device across calls. Mirrors wan_dit_apply
+    (models/wan_dit.py) with the `lax.scan` over stacked blocks replaced by
+    the executor's pipelined per-block dispatches.
+    """
+    from ..ops.rope import rope_3d_tables
+    from ..ops.norms import layer_norm
+
+    B = x.shape[0]
+    pt, ph, pw = cfg.patch_size
+    grid = (x.shape[2] // pt, x.shape[3] // ph, x.shape[4] // pw)
+    L_nat = grid[0] * grid[1] * grid[2]
+    L = seq_len if seq_len is not None else L_nat
+
+    pdtype = resident_params["patch_embedding"]["kernel"].dtype
+
+    @jax.jit
+    def _pre(rp, x, t, context):
+        tokens = patchify(x.astype(pdtype), cfg.patch_size)
+        h = _dense_np(rp["patch_embedding"], tokens)
+        if L > L_nat:
+            h = jnp.pad(h, ((0, 0), (0, L - L_nat), (0, 0)))
+        e, e0 = time_embeddings(rp, cfg, t)
+        if not context_embedded:
+            context = embed_context(rp, cfg, context)
+        return h.astype(jnp.float32), e, e0, context.astype(pdtype)
+
+    @jax.jit
+    def _post(rp, hf, e):
+        hp = rp["head"]
+        eh = hp["modulation"].astype(jnp.float32)[None, None] + e[:, :, None]
+        xn = layer_norm(hf, cfg.eps, out_f32=True)
+        y = xn * (1.0 + eh[:, :, 1]) + eh[:, :, 0]
+        out = y @ hp["head"]["kernel"].astype(jnp.float32)
+        out = out + hp["head"]["bias"].astype(jnp.float32)
+        return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+
+    h, e, e0, ctx = _pre(resident_params, x, t, context)
+    kv_lens = jnp.full((B,), L_nat, jnp.int32) if L > L_nat else None
+    cos, sin = rope_3d_tables(grid, cfg.head_dim, cfg.rope_max_seq_len,
+                              cfg.rope_theta)
+    aux = WanAuxInputs(e0=e0, context=ctx, rope_cos=cos, rope_sin=sin,
+                       kv_lens=kv_lens, sp=None)
+    h = executor.run_blocks(h, aux)
+    return _post(resident_params, h, e)
+
+
+def split_host_params(params):
+    """Split a full Wan DiT param pytree into (resident, per-block host list):
+    the inverse of the stacked-blocks layout (blocks have a leading layer
+    axis). Arrays are converted to host numpy, preserving dtype."""
+    resident = {k: jax.tree_util.tree_map(np.asarray, v)
+                for k, v in params.items() if k != "blocks"}
+    stacked = jax.tree_util.tree_map(np.asarray, params["blocks"])
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    blocks = [jax.tree_util.tree_map(lambda a: a[i], stacked)
+              for i in range(n)]
+    return resident, blocks

@@ -1,0 +1,69 @@
+"""Layer-streaming executor: parity with the scanned forward + HBM bounding.
+
+The streamed schedule (pipelines/streaming.py) exists to run the A14B DiT on
+a chip whose HBM cannot hold all 40 blocks (reference runs it whole on one
+80 GB GPU, x2x_gen_unified.py:261-540). Its numerics must be IDENTICAL to
+wan_dit_apply's lax.scan — the chip run only adds the performance evidence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnivideo_tpu.configs.base import WanDiTConfig
+from omnivideo_tpu.models.wan_dit import init_wan_dit, wan_dit_apply
+from omnivideo_tpu.pipelines.streaming import (
+    BlockStreamingExecutor,
+    split_host_params,
+    wan_dit_stream_apply,
+)
+
+
+def _tiny():
+    cfg = WanDiTConfig(
+        patch_size=(1, 2, 2), text_len=16, in_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=48, out_dim=4, num_heads=4, num_layers=3,
+    )
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["head"]["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["kernel"].shape) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 8, 8))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 48))
+    return cfg, params, x, t, ctx
+
+
+def test_streamed_forward_matches_scanned():
+    cfg, params, x, t, ctx = _tiny()
+    ref = wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla")
+    resident, blocks = split_host_params(params)
+    for window in (1, 2, 3):
+        ex = BlockStreamingExecutor(cfg, blocks, window=window,
+                                    attn_impl="xla")
+        out = wan_dit_stream_apply(resident, ex, cfg, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"window={window}")
+
+
+def test_streamed_forward_padded_seq():
+    cfg, params, x, t, ctx = _tiny()
+    # L_nat = 4*4*4 = 64; pad to 80 — the kv_lens mask path
+    ref = wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla", seq_len=80)
+    resident, blocks = split_host_params(params)
+    ex = BlockStreamingExecutor(cfg, blocks, window=2, attn_impl="xla")
+    out = wan_dit_stream_apply(resident, ex, cfg, x, t, ctx, seq_len=80)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_streamed_aliased_blocks_single_compile():
+    """Benchmark schedules alias one host block for all layer indices; the
+    executor must reuse ONE jit entry across blocks (shape-identical)."""
+    cfg, params, x, t, ctx = _tiny()
+    resident, blocks = split_host_params(params)
+    ex = BlockStreamingExecutor(cfg, [blocks[0]] * 5, window=2,
+                                attn_impl="xla")
+    out = wan_dit_stream_apply(resident, ex, cfg, x, t, ctx)
+    assert np.isfinite(np.asarray(out)).all()
+    assert ex._block_fn._cache_size() == 1
