@@ -61,11 +61,16 @@ def _linear(key, d_in, d_out, init="xavier", std=0.02, zero=False):
     return {"kernel": kernel, "bias": jnp.zeros((d_out,), jnp.float32)}
 
 
-def init_wan_dit(key: jax.Array, cfg: WanDiTConfig, dtype=jnp.bfloat16):
+def init_wan_dit(key: jax.Array, cfg: WanDiTConfig, dtype=jnp.bfloat16,
+                 with_blocks: bool = True):
     """Initialize parameters (Xavier linears, normal-0.02 embeddings, zero head
     — reference model.py:551-573). Returned leaves are cast to `dtype` except
     modulation tables, norms, and the head, which stay f32 (reference keeps
-    modulation math in fp32)."""
+    modulation math in fp32).
+
+    with_blocks=False skips the stacked block params — the resident
+    (embed/head) subset used by the layer-streaming executor, whose block
+    stack lives in host memory (pipelines/streaming.py)."""
     d, fd, td = cfg.dim, cfg.ffn_dim, cfg.text_dim
     keys = iter(jax.random.split(key, 16))
     in_patch = cfg.in_dim * int(np.prod(cfg.patch_size))
@@ -87,8 +92,9 @@ def init_wan_dit(key: jax.Array, cfg: WanDiTConfig, dtype=jnp.bfloat16):
         },
     }
 
-    bkeys = jax.random.split(next(keys), cfg.num_layers)
-    params["blocks"] = jax.vmap(lambda k: _init_block_f32(k, cfg))(bkeys)
+    if with_blocks:
+        bkeys = jax.random.split(next(keys), cfg.num_layers)
+        params["blocks"] = jax.vmap(lambda k: _init_block_f32(k, cfg))(bkeys)
 
     return cast_wan_params(params, dtype)
 

@@ -54,13 +54,28 @@ def _dense_np(p, x):
     return y + p["bias"].astype(y.dtype)
 
 
+@functools.lru_cache(maxsize=8)
+def _block_fn_for(cfg: WanDiTConfig, attn_impl: str):
+    """One jitted block function per (cfg, attn_impl) — shared across
+    executor instances so a benchmark that builds several executors over the
+    same config pays the dim-5120 block compile exactly once."""
+
+    @jax.jit
+    def apply(bp, x, aux):
+        return wan_block_apply(bp, x, aux, cfg, attn_impl=attn_impl)
+
+    return apply
+
+
 class BlockStreamingExecutor:
     """Streams a list of host-resident block param pytrees through a fixed
     ring of device slots, overlapping transfer with compute.
 
     host_blocks: sequence of per-block pytrees of HOST numpy arrays (entries
     may alias each other — e.g. benchmark schedules). All blocks must share
-    shapes/dtypes (one jit cache entry).
+    shapes/dtypes (one jit cache entry). Entries already committed to
+    `device` pass through `device_put` as no-ops, so the same schedule also
+    runs fully HBM-resident stacks (bench.py's on-device A14B pass).
     """
 
     def __init__(
@@ -76,13 +91,7 @@ class BlockStreamingExecutor:
         self.host_blocks = list(host_blocks)
         self.window = window
         self.device = device or jax.devices()[0]
-        self._block_fn = jax.jit(
-            functools.partial(self._apply, cfg=cfg, attn_impl=attn_impl)
-        )
-
-    @staticmethod
-    def _apply(bp, x, aux, *, cfg, attn_impl):
-        return wan_block_apply(bp, x, aux, cfg, attn_impl=attn_impl)
+        self._block_fn = _block_fn_for(cfg, attn_impl)
 
     def _put(self, i):
         return jax.tree_util.tree_map(
@@ -108,6 +117,41 @@ class BlockStreamingExecutor:
         return h
 
 
+@functools.lru_cache(maxsize=16)
+def _pre_post_for(cfg: WanDiTConfig, grid, L: int, context_embedded: bool,
+                  pdtype_name: str):
+    """Jitted pre-(patchify/embed) and post-(head/unpatchify) stages, cached
+    per static configuration so repeated stream_apply calls (a denoise loop)
+    trace and compile exactly once."""
+    from ..ops.norms import layer_norm
+
+    pdtype = jnp.dtype(pdtype_name)
+    L_nat = grid[0] * grid[1] * grid[2]
+
+    @jax.jit
+    def pre(rp, x, t, context):
+        tokens = patchify(x.astype(pdtype), cfg.patch_size)
+        h = _dense_np(rp["patch_embedding"], tokens)
+        if L > L_nat:
+            h = jnp.pad(h, ((0, 0), (0, L - L_nat), (0, 0)))
+        e, e0 = time_embeddings(rp, cfg, t)
+        if not context_embedded:
+            context = embed_context(rp, cfg, context)
+        return h.astype(jnp.float32), e, e0, context.astype(pdtype)
+
+    @jax.jit
+    def post(rp, hf, e):
+        hp = rp["head"]
+        eh = hp["modulation"].astype(jnp.float32)[None, None] + e[:, :, None]
+        xn = layer_norm(hf, cfg.eps, out_f32=True)
+        y = xn * (1.0 + eh[:, :, 1]) + eh[:, :, 0]
+        out = y @ hp["head"]["kernel"].astype(jnp.float32)
+        out = out + hp["head"]["bias"].astype(jnp.float32)
+        return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+
+    return pre, post
+
+
 def wan_dit_stream_apply(
     resident_params,
     executor: BlockStreamingExecutor,
@@ -128,7 +172,6 @@ def wan_dit_stream_apply(
     the executor's pipelined per-block dispatches.
     """
     from ..ops.rope import rope_3d_tables
-    from ..ops.norms import layer_norm
 
     B = x.shape[0]
     pt, ph, pw = cfg.patch_size
@@ -137,36 +180,16 @@ def wan_dit_stream_apply(
     L = seq_len if seq_len is not None else L_nat
 
     pdtype = resident_params["patch_embedding"]["kernel"].dtype
+    pre, post = _pre_post_for(cfg, grid, L, context_embedded, str(pdtype))
 
-    @jax.jit
-    def _pre(rp, x, t, context):
-        tokens = patchify(x.astype(pdtype), cfg.patch_size)
-        h = _dense_np(rp["patch_embedding"], tokens)
-        if L > L_nat:
-            h = jnp.pad(h, ((0, 0), (0, L - L_nat), (0, 0)))
-        e, e0 = time_embeddings(rp, cfg, t)
-        if not context_embedded:
-            context = embed_context(rp, cfg, context)
-        return h.astype(jnp.float32), e, e0, context.astype(pdtype)
-
-    @jax.jit
-    def _post(rp, hf, e):
-        hp = rp["head"]
-        eh = hp["modulation"].astype(jnp.float32)[None, None] + e[:, :, None]
-        xn = layer_norm(hf, cfg.eps, out_f32=True)
-        y = xn * (1.0 + eh[:, :, 1]) + eh[:, :, 0]
-        out = y @ hp["head"]["kernel"].astype(jnp.float32)
-        out = out + hp["head"]["bias"].astype(jnp.float32)
-        return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
-
-    h, e, e0, ctx = _pre(resident_params, x, t, context)
+    h, e, e0, ctx = pre(resident_params, x, t, context)
     kv_lens = jnp.full((B,), L_nat, jnp.int32) if L > L_nat else None
     cos, sin = rope_3d_tables(grid, cfg.head_dim, cfg.rope_max_seq_len,
                               cfg.rope_theta)
     aux = WanAuxInputs(e0=e0, context=ctx, rope_cos=cos, rope_sin=sin,
                        kv_lens=kv_lens, sp=None)
     h = executor.run_blocks(h, aux)
-    return _post(resident_params, h, e)
+    return post(resident_params, h, e)
 
 
 def split_host_params(params):

@@ -59,7 +59,12 @@ def test_streamed_forward_padded_seq():
 
 def test_streamed_aliased_blocks_single_compile():
     """Benchmark schedules alias one host block for all layer indices; the
-    executor must reuse ONE jit entry across blocks (shape-identical)."""
+    executor must reuse ONE jit entry across blocks (shape-identical). The
+    block fn is shared process-wide per (cfg, attn_impl), so start from a
+    clean cache."""
+    from omnivideo_tpu.pipelines import streaming
+
+    streaming._block_fn_for.cache_clear()
     cfg, params, x, t, ctx = _tiny()
     resident, blocks = split_host_params(params)
     ex = BlockStreamingExecutor(cfg, [blocks[0]] * 5, window=2,
@@ -67,3 +72,7 @@ def test_streamed_aliased_blocks_single_compile():
     out = wan_dit_stream_apply(resident, ex, cfg, x, t, ctx)
     assert np.isfinite(np.asarray(out)).all()
     assert ex._block_fn._cache_size() == 1
+    # a second executor over the same cfg shares the jitted fn (no recompile)
+    ex2 = BlockStreamingExecutor(cfg, [blocks[1]] * 2, window=1,
+                                 attn_impl="xla")
+    assert ex2._block_fn is ex._block_fn
