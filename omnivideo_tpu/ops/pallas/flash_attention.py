@@ -239,17 +239,27 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         # scalar compare at run time, both kernels compiled once per shape).
         safe = (2.0 * jnp.max(bound_f) + 2.0) < 120.0
 
-    if Lk_r > block_k and Lk_r <= 8192:
+    import os
+
+    xattn_single = Lk_r > block_k and Lk_r <= 8192
+    if xattn_single and static_max:
+        # bounded softmax has NO per-step rescale, so multi-step KV costs
+        # only l_scr updates — and a divisor bk frees VMEM for much wider q
+        # tiles (6272-ctx cross-attn: single-step caps bq at 256 by the
+        # [bq, 6272] f32 logits tile; multi-step runs bq=1024 at bk=896).
+        # FLASH_XATTN_MODE env is a SWEEP KNOB for tools/dev/bench_xattn_
+        # sweep.py only — the default is the measured winner.
+        mode = os.environ.get("FLASH_XATTN_MODE", "multi")
+        xattn_single = mode == "single"
+    if xattn_single:
         # single step: size bq so the f32 logits tile stays within the VMEM
         # budget (default ~8 MB of the 16 MB core VMEM; FLASH_XATTN_VMEM_MB
         # env overrides for on-chip sweeps)
-        import os
-
         budget = int(float(os.environ.get("FLASH_XATTN_VMEM_MB", "8")) * 2**20)
         bk = Lk_r
         bq = min(block_q, max(128, budget // (4 * bk) // 128 * 128))
     else:
-        bk = min(block_k, Lk_r)
+        bk = _pick_block_k(Lk, block_k)  # divisor: ≤1 boundary block
         bq = min(block_q, _round_up(Lq, 128))
     kv_steps = -(-Lk_r // bk)
     q_steps = -(-Lq // bq)

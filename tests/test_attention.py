@@ -178,6 +178,33 @@ def test_pallas_flash_bounded_softmax_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=2e-3)
 
 
+def test_bounded_softmax_xattn_multi_vs_single_step(monkeypatch):
+    """Cross-attention-sized Lk (block_k < Lk_r <= 8192) under bounded
+    softmax now defaults to MULTI-step KV with a divisor bk (no rescale
+    exists to amortize, and the smaller logits tile frees VMEM for wider q
+    tiles on chip). Both routes must match the oracle, and each other."""
+    rng = np.random.default_rng(7)
+
+    def mk(B, L, N, D):
+        x = rng.standard_normal((B, L, N, D)).astype(np.float32)
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return jnp.asarray(x / n * np.sqrt(D))
+
+    # Lk=2500 -> Lk_r=2560: multi picks divisor bk=512 (5 steps); the tail
+    # 60 rows of the boundary block exercise the kv_len mask + zero_oob_v
+    q, k, v = mk(1, 256, 2, 128), mk(1, 2500, 2, 128), mk(1, 2500, 2, 128)
+    ref = attention_xla(q, k, v)
+    outs = {}
+    for mode in ("multi", "single"):
+        monkeypatch.setenv("FLASH_XATTN_MODE", mode)
+        outs[mode] = flash_attention(q, k, v, block_q=256, block_k=512,
+                                     interpret=True, assume_normalized=True)
+        np.testing.assert_allclose(np.asarray(outs[mode]), np.asarray(ref),
+                                   rtol=3e-3, atol=2e-3, err_msg=mode)
+    np.testing.assert_allclose(np.asarray(outs["multi"]),
+                               np.asarray(outs["single"]), rtol=1e-6, atol=1e-6)
+
+
 def test_bounded_softmax_huge_norm_guard():
     """Rows far below the global Cauchy-Schwarz bound must NOT be zeroed:
     when the worst-case slack approaches f32 exp2's underflow range (e.g.
