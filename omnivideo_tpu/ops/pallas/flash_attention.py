@@ -246,10 +246,12 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         # bounded softmax has NO per-step rescale, so multi-step KV costs
         # only l_scr updates — and a divisor bk frees VMEM for much wider q
         # tiles (6272-ctx cross-attn: single-step caps bq at 256 by the
-        # [bq, 6272] f32 logits tile; multi-step runs bq=1024 at bk=896).
-        # FLASH_XATTN_MODE env is a SWEEP KNOB for tools/dev/bench_xattn_
-        # sweep.py only — the default is the measured winner.
-        mode = os.environ.get("FLASH_XATTN_MODE", "multi")
+        # [bq, 6272] f32 logits tile; multi-step runs bq=1024 at bk=896;
+        # r3's multi-vs-single A/B predates divisor bk and wasted 23% of
+        # the MXU work on kv padding). FLASH_XATTN_MODE env is a SWEEP KNOB
+        # for tools/dev/bench_xattn_sweep.py — the default is the measured
+        # winner (single until the divisor-bk variant wins on chip).
+        mode = os.environ.get("FLASH_XATTN_MODE", "single")
         xattn_single = mode == "single"
     if xattn_single:
         # single step: size bq so the f32 logits tile stays within the VMEM

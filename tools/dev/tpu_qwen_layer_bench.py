@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Measure ONE real-dims Qwen3-VL-30B-A3B layer on the chip (VERDICT r3
+item 6: turn the 30B story from "compiles on a virtual mesh" into "the hot
+layer is measured").
+
+- text layer: hidden 2048, 32 q / 4 kv heads, 128-expert top-8 MoE with
+  moe_intermediate 768 (the exact serving config the reference forwards
+  through vLLM, vllm_model.py:381-386) at a prefill shape (B=1, L=4096 —
+  video-VQA scale) and a cached single-token decode step;
+- vision block: hidden 1152, 16 heads, ffn 4304 at a 16-frame 640x640
+  video grid (t=8 temporal groups after temporal_patch_size=2).
+
+Params are initialized ON DEVICE inside jit (no multi-hundred-MB host
+literals through the remote-compile tunnel — tpu_moe_check's --full hit
+HTTP 413 exactly that way). ~1.2 GB of expert weights fit HBM easily.
+
+    python tools/dev/tpu_qwen_layer_bench.py [--reps 8]
+
+Emits PHASE_JSON lines (mergeable via tools/dev/merge_phase_cache.py).
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def emit(d):
+    print("PHASE_JSON:" + json.dumps(d), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=4096)
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke: tiny dims, forces the cpu platform")
+    args = ap.parse_args()
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    from omnivideo_tpu.models.qwen3vl.text_model import (
+        Qwen3TextConfig, _layer)
+    from omnivideo_tpu.models.qwen3vl.vision_model import (
+        Qwen3VLVisionConfig, vision_forward)
+
+    if args.tiny:
+        cfg = Qwen3TextConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        )
+        args.seq = min(args.seq, 64)
+    else:
+        cfg = Qwen3TextConfig(
+            hidden_size=2048, intermediate_size=6144, num_hidden_layers=48,
+            num_attention_heads=32, num_key_value_heads=4, head_dim=128,
+            num_experts=128, num_experts_per_tok=8, moe_intermediate_size=768,
+        )
+    D, N, K, hd = (cfg.hidden_size, cfg.num_attention_heads,
+                   cfg.num_key_value_heads, cfg.head_dim)
+    E, M = cfg.num_experts, cfg.moe_intermediate_size
+    L = args.seq
+    peak = 197e12
+
+    @jax.jit
+    def init_layer(key):
+        ks = jax.random.split(key, 8)
+        r = lambda k, *s: (jax.random.normal(k, s, jnp.bfloat16)
+                           * float(0.5 / np.sqrt(s[-2] if len(s) > 1 else 1)))
+        return {
+            "ln1": jnp.ones((D,), jnp.bfloat16),
+            "ln2": jnp.ones((D,), jnp.bfloat16),
+            "attn": {
+                "q": r(ks[0], D, N * hd), "k": r(ks[1], D, K * hd),
+                "v": r(ks[2], D, K * hd), "o": r(ks[3], N * hd, D),
+                "q_norm": jnp.ones((hd,), jnp.bfloat16),
+                "k_norm": jnp.ones((hd,), jnp.bfloat16),
+            },
+            "mlp": {
+                "gate": r(ks[4], D, E),
+                "experts": {"gate": r(ks[5], E, D, M), "up": r(ks[6], E, D, M),
+                            "down": r(ks[7], E, M, D)},
+            },
+        }
+
+    lp = init_layer(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, L, D), jnp.bfloat16)
+    pos = jnp.arange(L)[None]
+    causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
+    bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
+    float(jnp.sum(x.astype(jnp.float32)))  # force init/inputs
+
+    reps = args.reps
+
+    @jax.jit
+    def prefill_reps(lp, x):
+        def body(c, _):
+            y, _kv = _layer(lp, c, pos, cfg, bias)
+            return y, None
+        y, _ = jax.lax.scan(body, x, None, length=reps)
+        return jnp.sum(y.astype(jnp.float32))
+
+    t0 = time.perf_counter()
+    float(prefill_reps(lp, x))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(prefill_reps(lp, x))
+    t_layer = (time.perf_counter() - t0) / reps
+
+    # flops: qkvo projections + dense-causal attention (counted full — the
+    # impl computes the full L x L score matrix) + router + top-8 MoE
+    attn_proj = 2 * L * D * (N * hd) * 2 + 2 * L * D * (K * hd) * 2
+    attn = 2 * 2 * N * L * L * hd
+    moe = L * cfg.num_experts_per_tok * (2 * D * M * 2 + 2 * M * D)
+    router = 2 * L * D * E
+    fl = attn_proj + attn + moe + router
+    out = {
+        "qwen30b_text_layer_prefill4k_ms": round(t_layer * 1e3, 2),
+        "qwen30b_text_layer_mxu": round(fl / t_layer / peak, 3),
+        "qwen30b_text_layer_compile_s": round(compile_s, 1),
+        "qwen30b_step_prefill4k_derived_s": round(
+            t_layer * cfg.num_hidden_layers, 3),
+    }
+    emit(dict(out))
+
+    # cached decode: one token against a 4096-token KV cache (the serving
+    # decode inner loop at real dims)
+    kc = jax.random.normal(jax.random.PRNGKey(2), (1, L + 1, K, hd),
+                           jnp.bfloat16)
+    vc = jax.random.normal(jax.random.PRNGKey(3), (1, L + 1, K, hd),
+                           jnp.bfloat16)
+    x1 = x[:, :1]
+    pos1 = jnp.full((1, 1), L, jnp.int32)
+    bias1 = jnp.zeros((1, 1, 1, L + 1), jnp.float32)
+
+    @jax.jit
+    def decode_reps(lp, x1, kc, vc):
+        def body(c, _):
+            y, _kv = _layer(lp, c, pos1, cfg, bias1, cache_kv=(kc, vc))
+            return y, None
+        y, _ = jax.lax.scan(body, x1, None, length=64)
+        return jnp.sum(y.astype(jnp.float32))
+
+    float(decode_reps(lp, x1, kc, vc))
+    t0 = time.perf_counter()
+    float(decode_reps(lp, x1, kc, vc))
+    t_dec = (time.perf_counter() - t0) / 64
+    out["qwen30b_text_layer_decode_us"] = round(t_dec * 1e6, 1)
+    out["qwen30b_decode_tok_s_derived"] = round(
+        1.0 / (t_dec * cfg.num_hidden_layers), 1)
+    emit(dict(out))
+    del lp, x, kc, vc, bias
+
+    # ---- vision block: 16-frame 640x640 video -> grid (8, 40, 40) ----
+    # (segmented attention materializes [t, N, hw, hw] f32 logits; 64x64
+    # grids would need 12.9 GB — this shape is the realistic smart-resize
+    # video-VQA scale and fits comfortably)
+    if args.tiny:
+        vcfg = Qwen3VLVisionConfig(
+            depth=1, deepstack_visual_indexes=(), hidden_size=64,
+            intermediate_size=128, num_heads=4, out_hidden_size=64)
+        t, h, w = 2, 4, 4
+    else:
+        vcfg = Qwen3VLVisionConfig(depth=1, deepstack_visual_indexes=())
+        t, h, w = 8, 40, 40
+    Lv = t * h * w
+    Din = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    Dv, Nv, Mv = vcfg.hidden_size, vcfg.num_heads, vcfg.intermediate_size
+
+    @jax.jit
+    def init_vision(key):
+        ks = jax.random.split(key, 12)
+        r = lambda k, *s: (jax.random.normal(k, s, jnp.bfloat16)
+                           * float(0.5 / np.sqrt(s[-2] if len(s) > 1 else 1)))
+        blk = {
+            "norm1": {"weight": jnp.ones((1, Dv), jnp.bfloat16),
+                      "bias": jnp.zeros((1, Dv), jnp.bfloat16)},
+            "norm2": {"weight": jnp.ones((1, Dv), jnp.bfloat16),
+                      "bias": jnp.zeros((1, Dv), jnp.bfloat16)},
+            "qkv_w": r(ks[0], 1, Dv, 3 * Dv), "qkv_b": jnp.zeros((1, 3 * Dv), jnp.bfloat16),
+            "proj_w": r(ks[1], 1, Dv, Dv), "proj_b": jnp.zeros((1, Dv), jnp.bfloat16),
+            "mlp_fc1_w": r(ks[2], 1, Dv, Mv), "mlp_fc1_b": jnp.zeros((1, Mv), jnp.bfloat16),
+            "mlp_fc2_w": r(ks[3], 1, Mv, Dv), "mlp_fc2_b": jnp.zeros((1, Dv), jnp.bfloat16),
+        }
+        oh = vcfg.out_hidden_size
+        mdim = Dv * vcfg.spatial_merge_size ** 2
+        merger = {
+            "norm": {"weight": jnp.ones((Dv,), jnp.bfloat16),
+                     "bias": jnp.zeros((Dv,), jnp.bfloat16)},
+            "fc1_w": r(ks[4], mdim, mdim), "fc1_b": jnp.zeros((mdim,), jnp.bfloat16),
+            "fc2_w": r(ks[5], mdim, oh), "fc2_b": jnp.zeros((oh,), jnp.bfloat16),
+        }
+        return {
+            "patch_embed": {"kernel": r(ks[6], Din, Dv),
+                            "bias": jnp.zeros((Dv,), jnp.bfloat16)},
+            "pos_embed": r(ks[7], vcfg.num_position_embeddings, Dv),
+            "blocks": blk, "merger": merger, "deepstack": [],
+        }
+
+    vp = init_vision(jax.random.PRNGKey(4))
+    patches = jax.random.normal(jax.random.PRNGKey(5), (Lv, Din), jnp.bfloat16)
+    float(jnp.sum(patches.astype(jnp.float32)))
+
+    @jax.jit
+    def vis(vp, patches):
+        tokens, _ = vision_forward(vp, vcfg, patches, (t, h, w))
+        return jnp.sum(tokens.astype(jnp.float32))
+
+    float(vis(vp, patches))
+    t0 = time.perf_counter()
+    n = 4
+    for _ in range(n):
+        float(vis(vp, patches))
+    t_vis = (time.perf_counter() - t0) / n
+    # per-block flops: qkv+proj+mlp GEMMs + segmented attention (t groups of
+    # h*w tokens)
+    vfl = (2 * Lv * Dv * 3 * Dv + 2 * Lv * Dv * Dv + 2 * Lv * Dv * Mv * 2
+           + 2 * 2 * Nv * t * (h * w) ** 2 * vcfg.head_dim)
+    out["qwen30b_vision_block_ms"] = round(t_vis * 1e3, 2)
+    out["qwen30b_vision_block_mxu"] = round(vfl / t_vis / peak, 3)
+    emit(dict(out))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
