@@ -7,8 +7,14 @@ Times, at bench shapes (B=2, L=32760, d=1536, N=12, D=128, ffn=8960, 30 layers):
   - cross-attention alone x30
   - "no-attention" DiT (attention replaced by v-passthrough) = GEMMs+norms+rope
   - RoPE application alone x30
+
+--a14b switches to a BLOCK-level decomposition at dim 5120 (the full 40-layer
+model exceeds one chip's HBM; one block + component loops at identical
+shapes locate where the a14b_block_mxu gap lives — r3 measured 0.774 vs a
+0.90 weighted component ceiling, an unexplained ~84 ms/block).
 """
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -17,6 +23,102 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import jax
 import jax.numpy as jnp
+
+
+def block_split():
+    """Component decomposition of ONE A14B block (4-rep scans, b2 480p)."""
+    from omnivideo_tpu.configs import WAN_CONFIGS
+    from omnivideo_tpu.models.wan_dit import (
+        WanAuxInputs, apply_rope, init_wan_block, rope_3d_tables,
+        wan_block_apply)
+    from omnivideo_tpu.ops.pallas.flash_attention import flash_attention
+
+    full = WAN_CONFIGS["t2v-A14B"]
+    cfg = full.dit
+    d, f, Lc = cfg.dim, cfg.ffn_dim, full.max_context_len
+    B, N, D = 2, cfg.num_heads, cfg.head_dim
+    grid = (21, 30, 52)
+    L = grid[0] * grid[1] * grid[2]
+    reps = 4
+    print(f"A14B block: L={L} d={d} N={N} ffn={f} Lc={Lc} (x{reps} scans)")
+
+    key = jax.random.PRNGKey(0)
+    params = init_wan_block(key, cfg, dtype=jnp.bfloat16)
+    cos, sin = rope_3d_tables(grid, D, cfg.rope_max_seq_len, cfg.rope_theta)
+    ctx = jax.random.normal(key, (B, Lc, d), jnp.bfloat16)
+    e0 = jax.random.normal(key, (B, 1, 6, d), jnp.float32) * 0.02
+    x = jax.random.normal(key, (B, L, d), jnp.float32)
+    aux = WanAuxInputs(e0=e0, context=ctx, rope_cos=cos, rope_sin=sin,
+                       kv_lens=None, sp=None)
+
+    def scan4(body):
+        def fn(c0, *rest):
+            out, _ = jax.lax.scan(lambda c, _: (body(c, *rest), None),
+                                  c0, None, length=reps)
+            return jnp.sum(out.astype(jnp.float32))
+        return jax.jit(fn)
+
+    t_blk = timed(scan4(lambda c: wan_block_apply(
+        params, c, aux, cfg, attn_impl="auto")), x, n=2) / reps
+    print(f"full block          : {t_blk*1e3:8.1f} ms")
+
+    q = jax.random.normal(key, (B, L, N, D), jnp.bfloat16)
+    t_self = timed(scan4(lambda c: flash_attention(
+        c, c, c, assume_normalized=True)), q, n=2) / reps
+    print(f"self-attn           : {t_self*1e3:8.1f} ms "
+          f"({4*B*N*L*L*D/t_self/197e12:5.1%} MXU)")
+
+    kx = jax.random.normal(key, (B, Lc, N, D), jnp.bfloat16)
+    Lc_r = (Lc + 127) // 128 * 128
+    t_cross = timed(scan4(lambda c, kx: flash_attention(
+        c, kx, kx, assume_normalized=True)), q, kx, n=2) / reps
+    print(f"cross-attn          : {t_cross*1e3:8.1f} ms "
+          f"({4*B*N*L*Lc_r*D/t_cross/197e12:5.1%} MXU)")
+
+    w1 = jax.random.normal(key, (d, f), jnp.bfloat16)
+    w2 = jax.random.normal(key, (f, d), jnp.bfloat16)
+    wq = jax.random.normal(key, (d, d), jnp.bfloat16)
+    xm = jax.random.normal(key, (B * L, d), jnp.bfloat16)
+
+    def gemms(c):
+        h = c
+        for _ in range(6):
+            h = jnp.dot(h, wq, preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)
+        g = jnp.dot(h, w1, preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+        return jnp.dot(g, w2, preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+
+    t_gemm = timed(scan4(gemms), xm, n=2) / reps
+    gemm_fl = 6 * 2 * B * L * d * d + 2 * 2 * B * L * d * f
+    print(f"gemm chain          : {t_gemm*1e3:8.1f} ms "
+          f"({gemm_fl/t_gemm/197e12:5.1%} MXU)")
+
+    t_rope = timed(scan4(lambda c: apply_rope(
+        apply_rope(c, cos, sin), cos, sin)), q, n=2) / reps
+    print(f"rope(q&k)           : {t_rope*1e3:8.1f} ms")
+
+    # no-attention block: v-passthrough isolates GEMMs+norms+AdaLN+residuals
+    import importlib
+    attn_mod = importlib.import_module("omnivideo_tpu.ops.attention")
+    real = attn_mod.attention
+    attn_mod.attention = lambda q, k, v, kv_lens=None, impl="auto", **kw: (
+        v if v.shape == q.shape else jnp.zeros_like(q))
+    try:
+        import omnivideo_tpu.models.wan_dit as wd
+        importlib.reload(wd)
+        t_noattn = timed(scan4(lambda c: wd.wan_block_apply(
+            params, c, aux, cfg, attn_impl="xla")), x, n=2) / reps
+        print(f"no-attn block       : {t_noattn*1e3:8.1f} ms")
+    finally:
+        attn_mod.attention = real
+        import omnivideo_tpu.models.wan_dit as wd
+        importlib.reload(wd)
+
+    acct = t_self + t_cross + t_noattn
+    print(f"\naccounted={acct*1e3:.1f} ms vs full={t_blk*1e3:.1f} ms "
+          f"(gap {1e3*(t_blk-acct):+.1f} ms)")
 
 
 def timed(fn, *args, n=3, warm=1):
@@ -139,4 +241,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--a14b", action="store_true",
+                    help="block-level decomposition at dim 5120")
+    if ap.parse_args().a14b:
+        block_split()
+    else:
+        main()
