@@ -255,11 +255,40 @@ def wan_block_apply(
     cfg: WanDiTConfig,
     attn_impl: str = "auto",
     ew_impl: str = "xla",
+    qk_impl: str = "xla",
 ) -> jnp.ndarray:
-    """One WanAttentionBlock (reference model.py:182-258). x: [B, L, dim] f32."""
+    """One WanAttentionBlock (reference model.py:182-258). x: [B, L, dim] f32.
+
+    qk_impl="pallas" fuses the attention prologue (rms-norm + gain + rope +
+    bounded-softmax row-norm bound) into one HBM pass per q/k tensor
+    (ops/pallas/qk_prep.py) and dispatches through the non-differentiable
+    flash_attention_infer — INFERENCE ONLY; training keeps the default
+    "xla" chain. "pallas_interpret" runs the same kernels emulated on CPU
+    (CI). Opt-in until the chip A/B (tools/dev/bench_a14b_ab.py) wins."""
     B, L, d = x.shape
     N, hd = cfg.num_heads, cfg.head_dim
     pdtype = bp["self_attn"]["q"]["kernel"].dtype
+    fuse_qk = (qk_impl in ("pallas", "pallas_interpret") and aux.sp is None
+               and cfg.qk_norm and hd % 128 == 0 and N <= 128
+               and attn_impl in ("auto", "pallas", "pallas_interpret"))
+    if fuse_qk:
+        from ..ops.pallas.flash_attention import flash_attention_infer
+        from ..ops.pallas.qk_prep import qk_prep
+
+        _interp = qk_impl == "pallas_interpret"
+        _fa_kw = dict(block_q=128, block_k=128) if _interp else {}
+
+        def _fused_attn(q_raw, gq, rope_q, k_raw, gk, rope_k, v, kv_lens):
+            cq = (aux.rope_cos, aux.rope_sin) if rope_q else (None, None)
+            ck = (aux.rope_cos, aux.rope_sin) if rope_k else (None, None)
+            q, qn = qk_prep(q_raw, gq, cq[0], cq[1], N, cfg.eps,
+                            interpret=_interp)
+            k, kn = qk_prep(k_raw, gk, ck[0], ck[1], N, cfg.eps,
+                            interpret=_interp)
+            v = v.reshape(v.shape[0], v.shape[1], N, hd)
+            return flash_attention_infer(
+                q, k, v, kv_lens=kv_lens, assume_normalized=True,
+                qk_row_norms=(qn, kn), interpret=_interp, **_fa_kw)
 
     # AdaLN: (modulation + e0).chunk(6) in f32 (model.py:236-239)
     e = bp["modulation"].astype(jnp.float32)[None, None] + aux.e0  # [B,T,6,d]
@@ -278,13 +307,18 @@ def wan_block_apply(
         xn = layer_norm(x, cfg.eps, out_f32=True)
         y = (xn * (1.0 + e2) + e1).astype(pdtype)
     sa = bp["self_attn"]
-    q = rms_norm(_dense(sa["q"], y), sa["norm_q"], cfg.eps).reshape(B, L, N, hd)
-    k = rms_norm(_dense(sa["k"], y), sa["norm_k"], cfg.eps).reshape(B, L, N, hd)
-    v = _dense(sa["v"], y).reshape(B, L, N, hd)
-    q = apply_rope(q, aux.rope_cos, aux.rope_sin)
-    k = apply_rope(k, aux.rope_cos, aux.rope_sin)
     sp = aux.sp
-    if sp is None:
+    if not fuse_qk:
+        q = rms_norm(_dense(sa["q"], y), sa["norm_q"], cfg.eps).reshape(B, L, N, hd)
+        k = rms_norm(_dense(sa["k"], y), sa["norm_k"], cfg.eps).reshape(B, L, N, hd)
+        v = _dense(sa["v"], y).reshape(B, L, N, hd)
+        q = apply_rope(q, aux.rope_cos, aux.rope_sin)
+        k = apply_rope(k, aux.rope_cos, aux.rope_sin)
+    if fuse_qk:
+        o = _fused_attn(_dense(sa["q"], y), sa["norm_q"], True,
+                        _dense(sa["k"], y), sa["norm_k"], True,
+                        _dense(sa["v"], y), aux.kv_lens)
+    elif sp is None:
         # qk_norm bounds q/k row norms → bounded-softmax flash fast path
         o = attention(q, k, v, kv_lens=aux.kv_lens, impl=attn_impl,
                       assume_normalized=cfg.qk_norm)
@@ -352,6 +386,35 @@ def wan_block_apply(
                              assume_normalized=cfg.qk_norm)
     if not (fused and cfg.cross_attn_norm):
         xq = xn.astype(pdtype)
+    if fuse_qk and "k_img" not in ca:
+        # cross-attention: rms-norm + gain fused (no rope on either side);
+        # attends over the full padded ctx (reference context_lens=None,
+        # model.py:479)
+        o = _fused_attn(_dense(ca["q"], xq), ca["norm_q"], False,
+                        _dense(ca["k"], ctx), ca["norm_k"], False,
+                        _dense(ca["v"], ctx), None).reshape(B, L, d)
+        o = _dense(ca["o"], o)
+    else:
+        o = _cross_attn_unfused(ca, xq, ctx, cfg, _xattn, B, L, N, hd, d)
+
+    # --- ffn ---------------------------------------------------------------
+    if fused:
+        x, y = fused_adaln(
+            x, o, None, None, None, e5[:, 0], e4[:, 0],
+            cfg.eps, pdtype, ew_impl,
+        )
+    else:
+        x = x + o.astype(jnp.float32)
+        xn = layer_norm(x, cfg.eps, out_f32=True)
+        y = (xn * (1.0 + e5) + e4).astype(pdtype)
+    y = _dense(bp["ffn"]["fc2"], _gelu_tanh(_dense(bp["ffn"]["fc1"], y)))
+    x = x + y.astype(jnp.float32) * e6
+    return x
+
+
+def _cross_attn_unfused(ca, xq, ctx, cfg, _xattn, B, L, N, hd, d):
+    """Cross-attention through the unfused rms-norm chain (reference
+    model.py:185-226): plain, and the i2v k_img variant."""
     q = rms_norm(_dense(ca["q"], xq), ca["norm_q"], cfg.eps).reshape(B, L, N, hd)
     if "k_img" in ca:
         # i2v cross-attention (v1 wan model.py:185-226): first 257 context
@@ -369,21 +432,7 @@ def wan_block_apply(
         kk = rms_norm(_dense(ca["k"], ctx), ca["norm_k"], cfg.eps).reshape(B, Lc, N, hd)
         vv = _dense(ca["v"], ctx).reshape(B, Lc, N, hd)
         o = _xattn(q, kk, vv).reshape(B, L, d)
-    o = _dense(ca["o"], o)
-
-    # --- ffn ---------------------------------------------------------------
-    if fused:
-        x, y = fused_adaln(
-            x, o, None, None, None, e5[:, 0], e4[:, 0],
-            cfg.eps, pdtype, ew_impl,
-        )
-    else:
-        x = x + o.astype(jnp.float32)
-        xn = layer_norm(x, cfg.eps, out_f32=True)
-        y = (xn * (1.0 + e5) + e4).astype(pdtype)
-    y = _dense(bp["ffn"]["fc2"], _gelu_tanh(_dense(bp["ffn"]["fc1"], y)))
-    x = x + y.astype(jnp.float32) * e6
-    return x
+    return _dense(ca["o"], o)
 
 
 # ---------------------------------------------------------------------------
@@ -445,6 +494,7 @@ def wan_dit_apply(
     clip_fea: Optional[jnp.ndarray] = None,
     carry_dtype=None,
     ew_impl: str = "xla",
+    qk_impl: str = "xla",
 ) -> jnp.ndarray:
     """Full DiT forward (reference model.py:417-524).
 
@@ -522,11 +572,13 @@ def wan_dit_apply(
     # "xla" under mesh/sp (Pallas is opaque to GSPMD sharding propagation).
     if mesh is not None or sp is not None:
         ew_impl = "xla"
+        qk_impl = "xla"  # the fused prologue path is single-device-only
     aux = WanAuxInputs(
         e0=e0, context=context, rope_cos=cos, rope_sin=sin, kv_lens=kv_lens, sp=sp
     )
 
-    block_fn = lambda bp, xx: wan_block_apply(bp, xx, aux, cfg, attn_impl, ew_impl)
+    block_fn = lambda bp, xx: wan_block_apply(bp, xx, aux, cfg, attn_impl,
+                                              ew_impl, qk_impl)
     cdt = carry_dtype if carry_dtype is not None else jnp.float32
     if cdt != jnp.float32:
         # cast INSIDE the (possibly rematerialized) block so the scan carry —

@@ -180,7 +180,7 @@ def _pick_block_k(Lk: int, block_k: int) -> int:
 
 
 def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
-                        static_max=False):
+                        static_max=False, qk_row_norms=None):
     """Inference forward with NO layout work at all.
 
     The [B, L, N, D] inputs are viewed as packed [B, L, N·D] (a free,
@@ -220,10 +220,15 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         # s·c = q·k·c ≤ max_row|q|·max_row|k|·c. Two cheap HBM passes here
         # buy the removal of the running-max reduction + alpha rescale from
         # every kv step of the kernel (see _fa_kernel static_max).
-        qn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(q.astype(jnp.float32)),
-                                      axis=-1), axis=1))  # [B, N]
-        kn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(k.astype(jnp.float32)),
-                                      axis=-1), axis=1))
+        # qk_row_norms: the fused qk-prep kernel (ops/pallas/qk_prep.py)
+        # already reduced the row norms in its single pass — skip both reads.
+        if qk_row_norms is not None:
+            qn, kn = qk_row_norms  # [B, N] f32 upper bounds
+        else:
+            qn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(q.astype(jnp.float32)),
+                                          axis=-1), axis=1))  # [B, N]
+            kn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(k.astype(jnp.float32)),
+                                          axis=-1), axis=1))
         bound_f = qn * kn * jnp.float32(scale * LOG2E)
         # ceil to int32 (scalar-prefetch arrays are int32): still a valid
         # upper bound, slack grows by < 1 log2 unit
@@ -349,6 +354,7 @@ def _flash_fwd_impl(
     return_residuals: bool = False,
     with_lse: bool = False,
     assume_normalized: bool = False,
+    qk_row_norms=None,
 ):
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
@@ -365,7 +371,8 @@ def _flash_fwd_impl(
         # assume_normalized (qk-normed q/k, e.g. the Wan DiT) additionally
         # enables the bounded-softmax kernel: no running max / alpha rescale.
         return _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k,
-                                   interpret, static_max=assume_normalized)
+                                   interpret, static_max=assume_normalized,
+                                   qk_row_norms=qk_row_norms)
 
     bq = min(block_q, _round_up(Lq, 128))
     bk = _pick_block_k(Lk, block_k)
@@ -545,6 +552,27 @@ def _fa_bwd_dkv_kernel(
     def _emit():
         dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def flash_attention_infer(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_lens: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+    assume_normalized: bool = False,
+    qk_row_norms=None,
+) -> jnp.ndarray:
+    """Inference-only flash attention (NOT differentiable — no custom_vjp):
+    identical numerics to `flash_attention`, plus `qk_row_norms=(qn, kn)`
+    [B, N] f32 upper bounds from the fused qk-prep kernel so the bounded-
+    softmax dispatch skips its two full q/k HBM reads."""
+    return _flash_fwd_impl(q, k, v, kv_lens, softmax_scale, block_q, block_k,
+                           interpret, assume_normalized=assume_normalized,
+                           qk_row_norms=qk_row_norms)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))

@@ -20,7 +20,7 @@ v5e chip has 16 GB of HBM, so the 40-block A14B DiT cannot be resident.
 The schedule hides the transfer when `t_transfer(block) ≤ t_compute(block)`
 — ~0.7 GB/block bf16 against ~0.6 s of 480p CFG batch-2 compute needs
 ≥1.2 GB/s of host→device bandwidth (any PCIe-attached TPU host clears this;
-a tunneled remote chip may not — `tools/dev/bench_a14b_stream.py` measures
+a tunneled remote chip may not — `bench.py --phase a14b_stream` measures
 both the achieved bandwidth and the overlap quality).
 
 Numerical parity of the streamed schedule vs the scanned forward is tested
@@ -55,14 +55,15 @@ def _dense_np(p, x):
 
 
 @functools.lru_cache(maxsize=8)
-def _block_fn_for(cfg: WanDiTConfig, attn_impl: str):
-    """One jitted block function per (cfg, attn_impl) — shared across
-    executor instances so a benchmark that builds several executors over the
-    same config pays the dim-5120 block compile exactly once."""
+def _block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str = "xla"):
+    """One jitted block function per (cfg, attn_impl, qk_impl) — shared
+    across executor instances so a benchmark that builds several executors
+    over the same config pays the dim-5120 block compile exactly once."""
 
     @jax.jit
     def apply(bp, x, aux):
-        return wan_block_apply(bp, x, aux, cfg, attn_impl=attn_impl)
+        return wan_block_apply(bp, x, aux, cfg, attn_impl=attn_impl,
+                               qk_impl=qk_impl)
 
     return apply
 
@@ -84,6 +85,7 @@ class BlockStreamingExecutor:
         host_blocks: Sequence[Any],
         window: int = 2,
         attn_impl: str = "auto",
+        qk_impl: str = "xla",
         device=None,
     ):
         assert window >= 1
@@ -91,7 +93,7 @@ class BlockStreamingExecutor:
         self.host_blocks = list(host_blocks)
         self.window = window
         self.device = device or jax.devices()[0]
-        self._block_fn = _block_fn_for(cfg, attn_impl)
+        self._block_fn = _block_fn_for(cfg, attn_impl, qk_impl)
 
     def _put(self, i):
         return jax.tree_util.tree_map(

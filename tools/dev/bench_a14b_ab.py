@@ -30,6 +30,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="480p", choices=["480p", "720p"])
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--combos",
+        default="single:xla:xla,multi:xla:xla,single:pallas:xla,"
+                "single:xla:pallas,multi:xla:pallas",
+        help="comma list of xattn_mode:ew_impl:qk_impl triples "
+             "(qk_impl=pallas = fused norm+rope+bound prologue)")
     args = ap.parse_args()
 
     from omnivideo_tpu.configs import WAN_CONFIGS
@@ -57,24 +63,25 @@ def main():
     reps = 4
     results = []
 
-    for mode in ("single", "multi"):
-        for ew in ("xla", "pallas"):
-            os.environ["FLASH_XATTN_MODE"] = mode
-            fwd = jax.jit(lambda p, xx, aux: jnp.sum(
-                jax.lax.scan(lambda c, _: (wan_block_apply(
-                    p, c, aux, cfg, attn_impl="auto", ew_impl=ew), None),
-                    xx, None, length=reps)[0].astype(jnp.float32)))
-            float(fwd(params, x, aux))  # compile + warm
-            t0 = time.perf_counter()
-            for _ in range(args.reps):
-                float(fwd(params, x, aux))
-            t = (time.perf_counter() - t0) / args.reps / reps
-            mxu = flops / t / peak
-            label = f"xattn={mode} ew={ew}"
-            print(f"{label:28s} {t*1e3:8.1f} ms/block  {mxu:5.1%} MXU",
-                  flush=True)
-            results.append((mxu, label, t))
-            jax.clear_caches()
+    for combo in args.combos.split(","):
+        mode, ew, qk = combo.strip().split(":")
+        os.environ["FLASH_XATTN_MODE"] = mode
+        fwd = jax.jit(lambda p, xx, aux: jnp.sum(
+            jax.lax.scan(lambda c, _: (wan_block_apply(
+                p, c, aux, cfg, attn_impl="auto", ew_impl=ew, qk_impl=qk),
+                None),
+                xx, None, length=reps)[0].astype(jnp.float32)))
+        float(fwd(params, x, aux))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            float(fwd(params, x, aux))
+        t = (time.perf_counter() - t0) / args.reps / reps
+        mxu = flops / t / peak
+        label = f"xattn={mode} ew={ew} qk={qk}"
+        print(f"{label:36s} {t*1e3:8.1f} ms/block  {mxu:5.1%} MXU",
+              flush=True)
+        results.append((mxu, label, t))
+        jax.clear_caches()
     os.environ.pop("FLASH_XATTN_MODE", None)
 
     results.sort(reverse=True)
