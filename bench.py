@@ -418,8 +418,10 @@ def bench_a14b_stream(budget_s: float = 700.0):
     # --- on-device pass: 8 distinct resident blocks cycled to 40 ---
     scale = jax.jit(lambda b, s: jax.tree_util.tree_map(
         lambda a: (a.astype(jnp.float32) * s).astype(a.dtype), b))
-    variants = [scale(dev_block, 1.0 + 0.01 * i) for i in range(8)]
+    variants = [scale(dev_block, jnp.float32(1.0 + 0.01 * i))
+                for i in range(8)]  # jnp scalar: ONE compile for all 8
     float(total(variants[-1]))
+    del dev_block  # keep HBM headroom: 8 variants + activations only
     sched = [variants[i % len(variants)] for i in range(nl)]
     ex = BlockStreamingExecutor(cfg, sched, window=1, device=dev)
 
