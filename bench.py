@@ -425,22 +425,36 @@ def bench_a14b_stream(budget_s: float = 700.0):
     sched = [variants[i % len(variants)] for i in range(nl)]
     ex = BlockStreamingExecutor(cfg, sched, window=1, device=dev)
 
-    def step():
-        y = wan_dit_stream_apply(resident, ex, cfg, x, t_in, ctx,
-                                 context_embedded=True)
-        return float(jnp.sum(y))
+    def ondevice(tag, batch_t, x_t, t_t, ctx_t, first=False):
+        def step():
+            y = wan_dit_stream_apply(resident, ex, cfg, x_t, t_t, ctx_t,
+                                     context_embedded=True)
+            return float(jnp.sum(y))
 
-    t0 = time.perf_counter()
-    step()                                    # compile + first execution
-    out["a14b_stream_compile_s"] = round(time.perf_counter() - t0, 1)
-    _phase_emit(dict(out))
-    reps = 2 if left() > 180 else 1
-    t_step = _timed(step, n=reps, warm=0)
-    out["a14b_step_measured_480p_s"] = round(t_step, 2)
-    flops = _dit_flops(cfg, frames * (hh // 2) * (ww // 2), Lc, batch)
-    out["a14b_step_mxu_480p"] = round(
-        flops / t_step / _peak_flops(dev), 3)
-    _phase_emit(dict(out))
+        t0 = time.perf_counter()
+        step()                                # compile + first execution
+        if first:
+            out["a14b_stream_compile_s"] = round(time.perf_counter() - t0, 1)
+        _phase_emit(dict(out))
+        rp = 2 if left() > 180 else 1
+        t_step = _timed(step, n=rp, warm=0)
+        # 720p runs batch-1 (b2 activations at seq 75,600 risk OOM-wedge);
+        # CFG step = 2x, per-token cost is batch-linear (bench_a14b_block)
+        key_s = f"a14b_step_measured_{tag}_s"
+        out[key_s] = round(t_step * (2 // batch_t), 2)
+        fls = _dit_flops(cfg, x_t.shape[2] * (x_t.shape[3] // 2)
+                         * (x_t.shape[4] // 2), Lc, batch_t)
+        out[f"a14b_step_mxu_{tag}"] = round(
+            fls / t_step / _peak_flops(dev), 3)
+        _phase_emit(dict(out))
+        return t_step
+
+    t_step = ondevice("480p", batch, x, t_in, ctx, first=True)
+    if os.environ.get("BENCH_STREAM_720P") and left() > 250:
+        x7 = jax.random.normal(jax.random.PRNGKey(5),
+                               (1, cfg.in_dim, 21, 90, 160), jnp.float32)
+        ondevice("720p", 1, x7, t_in[:1], ctx[:1])
+        del x7
     del variants, sched, ex
 
     # --- streamed pass: real host->HBM transfer per dispatch ---
