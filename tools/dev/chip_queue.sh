@@ -39,13 +39,14 @@ step() {  # step <n> <timeout> <log> <cmd...>
 
 step 1 420  kernel_check.log  python tools/dev/tpu_kernel_check.py
 step 2 900  xattn_cross.log   python tools/dev/bench_xattn_sweep.py --cross
-step 3 1200 a14b_ab.log       python tools/dev/bench_a14b_ab.py --tag 480p
-step 4 1200 split_a14b.log    python tools/dev/bench_split.py --a14b
-step 5 900  xattn_self.log    python tools/dev/bench_xattn_sweep.py --self
+step 3 1500 a14b_ab.log       python tools/dev/bench_a14b_ab.py --tag 480p
+step 4 1200 qk_ab.log         python tools/dev/bench_qk_ab.py
+step 5 1200 split_a14b.log    python tools/dev/bench_split.py --a14b
+step 6 900  xattn_self.log    python tools/dev/bench_xattn_sweep.py --self
 # official bench phases (merge into the cache for the driver run)
-step 6 700  ph_a14b_block.log python bench.py --phase a14b_block
-step 7 1000 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=800 python bench.py --phase a14b_stream
-step 8 900  qwen_layer.log    python tools/dev/tpu_qwen_layer_bench.py
-step 9 1500 ph_primary.log    python bench.py --phase primary
+step 7 700  ph_a14b_block.log python bench.py --phase a14b_block
+step 8 1000 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=800 python bench.py --phase a14b_stream
+step 9 900  qwen_layer.log    python tools/dev/tpu_qwen_layer_bench.py
+step 10 1500 ph_primary.log   python bench.py --phase primary
 python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/qwen_layer.log
 echo "queue complete; merged phase logs into BENCH_LOCAL.json"
