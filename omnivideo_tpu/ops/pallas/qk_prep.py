@@ -80,7 +80,11 @@ def qk_prep(
     f32 — inflated by 2^-7 to stay an upper bound after the bf16 cast)."""
     B, L, d = x.shape
     hd = d // num_heads
-    bq = min(block_rows, L)
+    # VMEM cap: the kernel holds ~3 f32 copies of the [bq, d] row tile
+    # (x_f32, z, y3) plus bf16 in/out — ~16 B/elem of stack. Cap the tile to
+    # ~7 MB so dim 5120 compiles (256 rows x 5120 x 16 B would be 21 MB).
+    cap_rows = max(8, (7 * 2**20) // (d * 16) // 8 * 8)
+    bq = min(block_rows, cap_rows, max(8, L))
     L_p = (L + bq - 1) // bq * bq
     if L_p != L:
         x = jnp.pad(x, ((0, 0), (0, L_p - L), (0, 0)))
