@@ -83,6 +83,7 @@ class OmniVideoX2XUnified:
         text_encoder=None,  # optional callable: list[str] -> list[[L, text_dim]]
         attn_impl: str = "auto",
         sp=None,  # models.wan_dit.SPConfig for sequence-parallel denoising
+        layer_stream: bool = False,
     ):
         self.config = config
         self.low_noise = low_noise
@@ -97,6 +98,27 @@ class OmniVideoX2XUnified:
         # DiT context budget = max_context_len (unified_model.py:73-75)
         self.dit_cfg = config.dit.replace(text_len=config.max_context_len)
         self._denoise_cache: Dict[Any, Any] = {}
+        # layer_stream: run the DiT block stack through the host→HBM
+        # streaming executor (pipelines/streaming.py) — the single-chip
+        # deployment for models whose params exceed HBM (A14B: ~14 GB/expert
+        # vs 16 GB; the reference needs an 80 GB GPU, x2x_gen_unified.py:261).
+        # Expert block stacks move to HOST memory; embeds/head stay resident.
+        self.layer_stream = layer_stream
+        self._stream: Dict[int, Any] = {}
+        if layer_stream:
+            assert sp is None, "layer streaming is single-device"
+            from .streaming import BlockStreamingExecutor, split_host_params
+
+            experts = {id(self.low_noise): self.low_noise,
+                       id(self.high_noise): self.high_noise}
+            for eid, ep in experts.items():
+                resident, blocks = split_host_params(ep.wan)
+                resident = jax.device_put(resident)
+                self._stream[eid] = (
+                    resident,
+                    BlockStreamingExecutor(self.dit_cfg, blocks,
+                                           attn_impl=attn_impl),
+                )
 
     # ------------------------------------------------------------------
     @classmethod
@@ -106,6 +128,7 @@ class OmniVideoX2XUnified:
         seed: int = 0,
         with_vae: bool = True,
         attn_impl: str = "auto",
+        layer_stream: bool = False,
     ) -> "OmniVideoX2XUnified":
         """Random-weight pipeline for smoke tests / benchmarks."""
         from ..models.unified import init_unified_companions
@@ -126,7 +149,8 @@ class OmniVideoX2XUnified:
         vae = None
         if with_vae:
             vae = Wan21VAE.create(init_vae(k4, config.vae), config.vae)
-        return cls(config, low, high, vae=vae, attn_impl=attn_impl)
+        return cls(config, low, high, vae=vae, attn_impl=attn_impl,
+                   layer_stream=layer_stream)
 
     # ------------------------------------------------------------------
     def _encode_text(self, text: str) -> jnp.ndarray:
@@ -193,6 +217,44 @@ class OmniVideoX2XUnified:
                 return scan_step(st, c, v), None
 
             state, _ = jax.lax.scan(body, state, coeffs)
+            return state
+
+        self._denoise_cache[key] = run
+        return run
+
+    def _denoise_segment_stream(self, solver_cls, seq_len: int):
+        """Host-driven denoise loop for layer_stream mode: per step, the
+        block stack runs as the executor's pipelined per-block dispatches
+        (each far under the tunnel's single-dispatch ceiling — streaming
+        subsumes max_steps_per_call); pre/post/solver updates stay jitted.
+        Numerically identical to the scanned _denoise_segment_fn (the
+        streamed forward is parity-tested in tests/test_streaming.py)."""
+        key = ("stream", solver_cls, seq_len)
+        if key in self._denoise_cache:
+            return self._denoise_cache[key]
+
+        cfg = self.dit_cfg
+        pdtype = self.config.jnp_param_dtype
+        scan_step = solver_cls.scan_step
+        embed2 = jax.jit(
+            lambda rp, m2: embed_context(rp, cfg, m2.astype(pdtype)))
+        solve = jax.jit(
+            lambda st, c, v2, g: scan_step(
+                st, c, v2[1:] + g * (v2[0:1] - v2[1:])))
+
+        def run(resident, executor, state, coeffs, mixed2, guide_scale):
+            from .streaming import wan_dit_stream_apply
+
+            ctx2 = embed2(resident, mixed2)
+            n = jax.tree_util.tree_leaves(coeffs)[0].shape[0]
+            for i in range(n):
+                c = jax.tree_util.tree_map(lambda a: a[i], coeffs)
+                x2 = jnp.concatenate([state.x, state.x], axis=0)
+                t2 = jnp.full((2,), c.timestep, jnp.float32)
+                v2 = wan_dit_stream_apply(
+                    resident, executor, cfg, x2, t2, ctx2,
+                    seq_len=seq_len, context_embedded=True)
+                state = solve(state, c, v2, guide_scale)
             return state
 
         self._denoise_cache[key] = run
@@ -342,8 +404,15 @@ class OmniVideoX2XUnified:
                     mixed(context_null, ar_null, expert.companions),
                 ]
             )
-            run = self._denoise_segment_fn(solver_cls, b - a, seq_len)
-            state = run(expert.wan, state, coeffs_seg, mixed2, jnp.float32(g))
+            if self.layer_stream:
+                resident, executor = self._stream[id(expert)]
+                run = self._denoise_segment_stream(solver_cls, seq_len)
+                state = run(resident, executor, state, coeffs_seg, mixed2,
+                            jnp.float32(g))
+            else:
+                run = self._denoise_segment_fn(solver_cls, b - a, seq_len)
+                state = run(expert.wan, state, coeffs_seg, mixed2,
+                            jnp.float32(g))
             # force the segment: block_until_ready is a NO-OP under the axon
             # TPU plugin, so without a scalar readback the walltime logs (and
             # any caller timing generate()) measure dispatch, not execution.

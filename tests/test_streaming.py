@@ -57,6 +57,40 @@ def test_streamed_forward_padded_seq():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pipeline_layer_stream_generate_matches_scanned():
+    """Full generate() with layer_stream=True (host-resident block stacks,
+    per-step executor dispatches) equals the jit-scanned denoise — the
+    single-chip deployment path for larger-than-HBM experts (reference runs
+    A14B whole on an 80 GB GPU, x2x_gen_unified.py:261-540)."""
+    from omnivideo_tpu.configs.base import PipelineConfig, VAEConfig
+    from omnivideo_tpu.pipelines.x2x import OmniVideoX2XUnified
+
+    cfg = PipelineConfig(
+        name="tiny-stream",
+        dit=WanDiTConfig(patch_size=(1, 2, 2), in_dim=8, out_dim=8, dim=64,
+                         ffn_dim=128, freq_dim=32, text_dim=48, num_heads=4,
+                         num_layers=2),
+        vae=VAEConfig(dim=8, z_dim=8, dim_mult=(1, 2, 4, 4), num_res_blocks=1,
+                      temperal_downsample=(False, True, True)),
+        max_context_len=32, dual_expert=True, vlm_in_dim=16,
+        param_dtype="float32",
+    )
+    ctx = jnp.ones((5, 48), jnp.float32) * 0.1
+    kw = dict(precomputed_context=ctx,
+              precomputed_context_null=jnp.zeros_like(ctx),
+              size=(64, 32), frame_num=9, sampling_steps=3, guide_scale=3.0,
+              seed=7, decode=False)
+
+    pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl="xla",
+                                           with_vae=False)
+    ref = pipe.generate(**kw)
+    pipe_s = OmniVideoX2XUnified(cfg, pipe.low_noise, pipe.high_noise,
+                                 attn_impl="xla", layer_stream=True)
+    out = pipe_s.generate(**kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_streamed_aliased_blocks_single_compile():
     """Benchmark schedules alias one host block for all layer indices; the
     executor must reuse ONE jit entry across blocks (shape-identical). The

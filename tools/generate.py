@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("--dp_rank", type=int, default=None)
     p.add_argument("--dp_world_size", type=int, default=None)
     p.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--layer_stream", action="store_true",
+                   help="stream DiT blocks host->HBM per step (single-chip "
+                        "deployment for experts larger than device memory, "
+                        "e.g. A14B on 16 GB; pipelines/streaming.py)")
     p.add_argument("--vae_dtype", default=None, choices=[None, "float32", "bfloat16"],
                    help="decoder compute dtype (bfloat16 ~2x decode throughput)")
     p.add_argument("--max_steps_per_call", type=int, default=None,
@@ -159,15 +163,20 @@ def main():
             # under tensor parallelism (parallel/tp.py)
             sp = SPConfig(mesh=mesh, mode="tp")
 
+    if args.layer_stream:
+        assert sp is None and mesh is None, \
+            "--layer_stream is the single-device path (no sp/fsdp/tp)"
     if args.random_weights:
-        pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl=args.attn_impl)
+        pipe = OmniVideoX2XUnified.random_init(
+            cfg, attn_impl=args.attn_impl, layer_stream=args.layer_stream)
         pipe.sp = sp
     else:
         assert args.ckpt_dir, "--ckpt_dir required without --random_weights"
         from omnivideo_tpu.pipelines.loading import load_pipeline
 
         pipe = load_pipeline(cfg, args.ckpt_dir, attn_impl=args.attn_impl,
-                             mesh=mesh, sp=sp)
+                             mesh=mesh, sp=sp,
+                             layer_stream=args.layer_stream)
     if mesh is not None:
         from omnivideo_tpu.parallel.sharding import shard_params
 
