@@ -5,27 +5,44 @@
 # wedges the tunnel 10-40 min — CLAUDE.md); logs land in /tmp/chipq/.
 # Steps are ordered safest/most-valuable first so a mid-queue wedge still
 # leaves the decisive numbers on disk.
+#
+# GATE PROTOCOL (round-3 lesson, memory/axon-tunnel-behavior.md): NEVER
+# timeout-kill a probe — the kill of an in-flight op RE-wedges the tunnel
+# (the probe-kill death spiral). The gate launches ONE unbounded probe and
+# POLLS its log; a hung probe completes on its own when the wedge clears
+# (observed ~7 min). Only a probe that EXITS nonzero (real error, not hang)
+# is relaunched, after a quiet pause.
 set -u
 cd "$(dirname "$0")/../.."
 mkdir -p /tmp/chipq
 START=${1:-1}
+GATE_BUDGET=${GATE_BUDGET:-2700}   # max seconds to wait for a healthy tunnel
 
-probe() {
-  timeout 150 python - <<'EOF'
-import jax, jax.numpy as jnp
-x = jnp.ones((256, 256), jnp.bfloat16)
-v = float(jnp.sum((x @ x).astype(jnp.float32)))
-print("probe ok", v)
-EOF
-}
-
-gate() {  # wait for a healthy tunnel: probe, then back off 10 min, x6
-  for i in 1 2 3 4 5 6; do
-    probe && return 0
-    echo "[gate] probe failed (attempt $i); sleeping 600s" | tee -a /tmp/chipq/gate.log
-    sleep 600
+gate() {
+  local t0=$(date +%s) n=0
+  while true; do
+    n=$((n + 1))
+    local log=/tmp/chipq/probe.$$.$n.log
+    rm -f "$log"
+    nohup python -c 'import jax, jax.numpy as jnp; x = jnp.ones((256, 256), jnp.bfloat16); print("PROBE_OK", float(jnp.sum((x @ x).astype(jnp.float32))), flush=True)' > "$log" 2>&1 &
+    local pid=$!
+    while true; do
+      grep -q PROBE_OK "$log" 2>/dev/null && return 0
+      if ! kill -0 "$pid" 2>/dev/null; then        # probe exited without OK
+        echo "[gate] probe $n exited unhealthy:" | tee -a /tmp/chipq/gate.log
+        tail -2 "$log" | tee -a /tmp/chipq/gate.log
+        break
+      fi
+      if [ $(( $(date +%s) - t0 )) -ge "$GATE_BUDGET" ]; then
+        echo "[gate] budget ${GATE_BUDGET}s exhausted; ABANDONING probe $pid (never kill)" | tee -a /tmp/chipq/gate.log
+        return 1
+      fi
+      sleep 15
+    done
+    # real probe error (not a hang): quiet pause, then one more probe
+    [ $(( $(date +%s) - t0 )) -ge "$GATE_BUDGET" ] && return 1
+    sleep 180
   done
-  return 1
 }
 
 step() {  # step <n> <timeout> <log> <cmd...>
