@@ -1,0 +1,329 @@
+"""Single-chip training of DiT stacks whose parameters exceed HBM.
+
+Role of the reference's multi-GPU ZeRO-1 fine-tuning
+(`/root/reference/previous_version/Omni-Video1/finetune_model.py:725-732`
+shards optimizer state across GPUs because one 80 GB card cannot hold
+A14B training state): a v5e chip has 16 GB of HBM, so neither the 40-block
+A14B parameter stack nor its gradients/optimizer state can be resident.
+`StreamedTrainer` runs the flow-matching train step as a host↔HBM pipeline
+instead — the TPU analog is *streaming ZeRO-offload to host memory on ONE
+chip* rather than sharding across many:
+
+- **forward**: blocks stream host→HBM exactly like inference
+  (pipelines/streaming.py), saving each block's input activation (optionally
+  offloaded back to host — 40 × [B,L,dim] f32 cannot stay resident at A14B
+  480p shapes);
+- **backward** (pass A): walking blocks in reverse, each block re-streams
+  its params and recomputes its forward inside `jax.vjp` (remat by
+  construction — no checkpoint stack), yielding (d_params, d_x, d_e0, d_ctx);
+  d_params goes back to host, d_x chains to the previous block, and the
+  tiny conditioning grads accumulate on device;
+- **update** (pass B): gradients are scaled by the *global*-norm clip factor
+  (the squared norms were accumulated during pass A, so the clip is exact —
+  not per-block) and each block runs the SAME per-leaf optax transform the
+  resident trainer uses (`trainer.make_inner_optimizer`; adafactor's
+  factored stats make each block's optimizer state a few hundred KB).
+
+Two passes are required for exactness: `optax.clip_by_global_norm` couples
+every leaf through one scalar, and adafactor's stats update is nonlinear in
+the gradient, so the scale must be known before any leaf updates. The result
+is bit-comparable to `make_train_step` + `make_optimizer` — asserted
+leaf-for-leaf in tests/test_streamed_training.py.
+
+Traffic arithmetic at A14B dims (bf16 params, 0.7 GB/block): fwd params h2d
+0.7 + act d2h/h2d 2×1.34 (f32, 480p·81f b1) + bwd params h2d 0.7 + grads
+d2h/h2d 2×0.7 (bf16 cotangents) + updated params d2h 0.7 ≈ 6.5 GB/block,
+~260 GB/step. A PCIe v5e host (≥16 GB/s h2d) sustains that in ~20 s/step on
+top of ~12 s of compute; the tunnel-attached chip here is bandwidth-bound,
+which `bench.py --phase a14b_stream` quantifies (same transfer path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs.base import PipelineConfig, WanDiTConfig
+from ..models.wan_dit import (
+    WanAuxInputs,
+    _dense,
+    embed_context,
+    patchify,
+    time_embeddings,
+    unpatchify,
+    wan_block_apply,
+)
+from ..ops.norms import layer_norm
+from ..ops.rope import rope_3d_tables
+from ..schedulers.flow_match import FlowMatchScheduler
+from .trainer import (
+    TrainConfig,
+    _sample_timestep_ids,
+    make_inner_optimizer,
+)
+
+
+class StreamedTrainState(NamedTuple):
+    """Host-orchestrated training state. `resident` (embeds/time/head — a few
+    hundred MB at A14B) and its optimizer state live on device; the block
+    stack and its optimizer states live in host memory as numpy pytrees."""
+
+    resident: Any                 # device pytree (non-block params)
+    resident_opt: Any             # device optax state for resident
+    host_blocks: List[Any]        # per-block host numpy param pytrees
+    host_block_opts: List[Any]    # per-block host numpy optax states
+    step: int
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+class StreamedTrainer:
+    """Flow-matching trainer for block stacks larger than device memory.
+
+    Mirrors `make_train_step`'s loss (trainer.py:182-211 — same rng splits,
+    timestep sampling, CFG dropout, flow-match target/weighting) with the
+    `lax.scan` over blocks replaced by per-block streamed dispatches.
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        tc: TrainConfig,
+        attn_impl: str = "auto",
+        act_offload: bool = True,
+        device=None,
+    ):
+        assert tc.grad_accum_steps == 1, "streamed trainer: accumulate on host"
+        assert not tc.trainable_filters, "streamed trainer trains all params"
+        self.cfg = cfg
+        self.tc = tc
+        self.dit_cfg = cfg.dit.replace(text_len=cfg.max_context_len)
+        self.attn_impl = attn_impl
+        self.act_offload = act_offload
+        self.device = device or jax.devices()[0]
+        self.inner = make_inner_optimizer(tc)
+        self.flow = FlowMatchScheduler.create(
+            num_inference_steps=tc.num_train_timesteps,
+            num_train_timesteps=tc.num_train_timesteps,
+            shift=tc.flow_shift,
+            is_training=True,
+        )
+        self._jit: Dict[str, Callable] = {}
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    def init_state(self, params) -> StreamedTrainState:
+        """params: full wan pytree (host or device). Blocks move to host;
+        per-block optimizer states are initialized host-side (zeros — no
+        device roundtrip needed)."""
+        resident = {k: jax.device_put(v, self.device)
+                    for k, v in params.items() if k != "blocks"}
+        stacked = _to_host(params["blocks"])
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        host_blocks = [jax.tree_util.tree_map(lambda a: a[i], stacked)
+                       for i in range(n)]
+        # identical shapes → init once, replicate structure with fresh copies
+        opt0 = _to_host(self.inner.init(host_blocks[0]))
+        host_opts = [jax.tree_util.tree_map(np.copy, opt0) for _ in range(n)]
+        resident_opt = self.inner.init(resident)
+        return StreamedTrainState(resident, resident_opt, host_blocks,
+                                  host_opts, 0)
+
+    # ------------------------------------------------------------------
+    def _build_jits(self):
+        cfg, tc, flow = self.dit_cfg, self.tc, self.flow
+        pcfg = self.cfg
+        timesteps = flow.timesteps
+
+        @jax.jit
+        def prep(batch, rng):
+            """Noise/timestep/CFG-dropout prep — EXACTLY make_train_step's
+            loss_fn prologue (same split order) so streamed and scanned steps
+            agree bit-for-bit under one rng."""
+            latents = batch["latents"].astype(jnp.float32)
+            B = latents.shape[0]
+            k_t, k_n, k_cfg = jax.random.split(rng, 3)
+            tid = _sample_timestep_ids(k_t, B, tc)
+            t = timesteps[tid]
+            noise = jax.random.normal(k_n, latents.shape, jnp.float32)
+            noisy = flow.add_noise(latents, noise, t)
+            target = flow.training_target(latents, noise, t)
+            weights = flow.training_weight(t)
+            context = batch["context"]
+            if tc.cfg_dropout > 0 and "uncond_context" in batch:
+                drop = jax.random.uniform(k_cfg, (B,)) < tc.cfg_dropout
+                context = jnp.where(drop[:, None, None],
+                                    batch["uncond_context"], context)
+            return noisy, t, context, target, weights
+
+        def pre_fn(resident, noisy, t, context):
+            pdtype = resident["patch_embedding"]["kernel"].dtype
+            tokens = patchify(noisy.astype(pdtype), cfg.patch_size)
+            h = _dense(resident["patch_embedding"], tokens)
+            e, e0 = time_embeddings(resident, cfg, t)
+            ctx = embed_context(resident, cfg, context)
+            return h.astype(jnp.float32), e, e0, ctx
+
+        @jax.jit
+        def pre(resident, noisy, t, context):
+            return pre_fn(resident, noisy, t, context)
+
+        @jax.jit
+        def pre_grads(resident, noisy, t, context, cts):
+            _, pull = jax.vjp(
+                lambda r: pre_fn(r, noisy, t, context), resident)
+            return pull(cts)[0]
+
+        def block_fn(bp, x, e0, ctx, cos, sin):
+            aux = WanAuxInputs(e0=e0, context=ctx, rope_cos=cos,
+                               rope_sin=sin, kv_lens=None, sp=None)
+            return wan_block_apply(bp, x, aux, cfg, attn_impl=self.attn_impl)
+
+        @jax.jit
+        def block_fwd(bp, x, e0, ctx, cos, sin):
+            return block_fn(bp, x, e0, ctx, cos, sin)
+
+        @jax.jit
+        def block_grads(bp, x, e0, ctx, cos, sin, ct):
+            # vjp recomputes the block forward: remat by construction (the
+            # scanned trainer sets remat=True for the same reason)
+            _, pull = jax.vjp(
+                lambda b, xx, ee, cc: block_fn(b, xx, ee, cc, cos, sin),
+                bp, x, e0, ctx)
+            return pull(ct)
+
+        def post_loss_fn(resident, hf, e, target, weights):
+            grid = self._grid(target.shape)
+            hp = resident["head"]
+            eh = (hp["modulation"].astype(jnp.float32)[None, None]
+                  + e[:, :, None])  # [B,T,2,d]
+            xn = layer_norm(hf, cfg.eps, out_f32=True)
+            y = xn * (1.0 + eh[:, :, 1]) + eh[:, :, 0]
+            out = _dense(hp["head"], y, dtype=jnp.float32)
+            v = unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+            per = jnp.mean(jnp.square(v - target), axis=(1, 2, 3, 4))
+            return jnp.mean(weights * per)
+
+        @jax.jit
+        def post_loss_grads(resident, hf, e, target, weights):
+            loss, grads = jax.value_and_grad(
+                post_loss_fn, argnums=(0, 1, 2))(resident, hf, e, target,
+                                                 weights)
+            return loss, grads
+
+        @jax.jit
+        def sq_norm(tree):
+            return sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                       for l in jax.tree_util.tree_leaves(tree))
+
+        @jax.jit
+        def upd(p, g, opt_state, scale):
+            # same multiply (and dtype promotion) optax.clip_by_global_norm
+            # applies, with the scale computed from the GLOBAL norm
+            g = jax.tree_util.tree_map(lambda x: x * scale, g)
+            updates, opt2 = self.inner.update(g, opt_state, p)
+            return optax.apply_updates(p, updates), opt2
+
+        @jax.jit
+        def acc(a, b):
+            return jax.tree_util.tree_map(jnp.add, a, b)
+
+        self._jit = dict(prep=prep, pre=pre, pre_grads=pre_grads,
+                         block_fwd=block_fwd, block_grads=block_grads,
+                         post_loss_grads=post_loss_grads, sq_norm=sq_norm,
+                         upd=upd, acc=acc)
+        del pcfg
+
+    # ------------------------------------------------------------------
+    def _grid(self, latent_shape):
+        pt, ph, pw = self.dit_cfg.patch_size
+        return (latent_shape[2] // pt, latent_shape[3] // ph,
+                latent_shape[4] // pw)
+
+    def _put(self, tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, self.device), tree)
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: StreamedTrainState, batch, rng):
+        """One exact flow-matching step. Returns (state', metrics)."""
+        J = self._jit
+        n = len(state.host_blocks)
+        dev = self.device
+        batch = self._put(batch)
+
+        noisy, t, context, target, weights = J["prep"](batch, rng)
+        h, e, e0, ctx = J["pre"](state.resident, noisy, t, context)
+        grid = self._grid(noisy.shape)
+        cos, sin = rope_3d_tables(grid, self.dit_cfg.head_dim,
+                                  self.dit_cfg.rope_max_seq_len,
+                                  self.dit_cfg.rope_theta)
+        cos, sin = self._put((cos, sin))
+
+        # ---- forward: stream blocks, save inputs (double-buffered h2d) ----
+        acts: List[Any] = []
+        slot = self._put(state.host_blocks[0])
+        for i in range(n):
+            nxt = self._put(state.host_blocks[i + 1]) if i + 1 < n else None
+            acts.append(_to_host(h) if self.act_offload else h)
+            h = J["block_fwd"](slot, h, e0, ctx, cos, sin)
+            slot = nxt
+
+        # ---- head + loss, cotangents for the top of the stack ----
+        loss, (g_res_post, d_h, d_e) = J["post_loss_grads"](
+            state.resident, h, e, target, weights)
+        total_sq = jnp.zeros((), jnp.float32)
+
+        # ---- backward pass A: per-block grads to host + global sq-norm ----
+        host_grads: List[Any] = [None] * n
+        d_e0 = None
+        d_ctx = None
+        slot = self._put(state.host_blocks[n - 1])
+        for i in range(n - 1, -1, -1):
+            nxt = self._put(state.host_blocks[i - 1]) if i > 0 else None
+            x_i = self._put(acts[i]) if self.act_offload else acts[i]
+            dbp, d_h, de0_i, dctx_i = J["block_grads"](
+                slot, x_i, e0, ctx, cos, sin, d_h)
+            total_sq = total_sq + J["sq_norm"](dbp)
+            d_e0 = de0_i if d_e0 is None else J["acc"](d_e0, de0_i)
+            d_ctx = dctx_i if d_ctx is None else J["acc"](d_ctx, dctx_i)
+            host_grads[i] = _to_host(dbp)
+            acts[i] = None
+            slot = nxt
+
+        # ---- grads through the pre-stage (embeds/time/text) ----
+        g_res_pre = J["pre_grads"](state.resident, noisy, t, context,
+                                   (d_h, d_e, d_e0, d_ctx))
+        g_res = J["acc"](g_res_post, g_res_pre)
+        # the monolithic grad tree holds each resident leaf once, with
+        # post+pre contributions summed — so the global norm uses g_res
+        total_sq = total_sq + J["sq_norm"](g_res)
+
+        gnorm = jnp.sqrt(total_sq)
+        # exactly optax.clip_by_global_norm's trim ratio: clip/max(norm, clip)
+        clip = jnp.float32(self.tc.grad_clip)
+        scale = clip / jnp.maximum(gnorm, clip)
+
+        # ---- update pass B: resident on device, blocks streamed ----
+        resident, resident_opt = J["upd"](state.resident, g_res,
+                                          state.resident_opt, scale)
+        new_blocks: List[Any] = [None] * n
+        new_opts: List[Any] = [None] * n
+        for i in range(n):
+            bp2, opt2 = J["upd"](self._put(state.host_blocks[i]),
+                                 self._put(host_grads[i]),
+                                 self._put(state.host_block_opts[i]), scale)
+            new_blocks[i] = _to_host(bp2)
+            new_opts[i] = _to_host(opt2)
+            host_grads[i] = None
+
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        return StreamedTrainState(resident, resident_opt, new_blocks,
+                                  new_opts, state.step + 1), metrics

@@ -122,7 +122,13 @@ def _lr_scaled_decay(wd: float, sched) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def make_optimizer(tc: TrainConfig, params=None):
+def make_inner_optimizer(tc: TrainConfig):
+    """The per-leaf part of the optimizer — everything EXCEPT the global-norm
+    clip. Every transform here is leaf-local (adafactor's factored stats,
+    adamw's moments, the lr-scaled decay), so applying it per-block with
+    independent states is bit-identical to one monolithic application: the
+    streamed trainer (training/streaming.py) relies on this to update blocks
+    one at a time while matching make_optimizer exactly."""
     # clamp warmup for short runs (smoke tests, tiny finetunes): optax
     # requires decay_steps > warmup_steps
     warmup = min(tc.warmup_steps, max(tc.total_steps - 1, 0))
@@ -146,9 +152,13 @@ def make_optimizer(tc: TrainConfig, params=None):
             inner = optax.chain(inner, _lr_scaled_decay(tc.weight_decay, sched))
     else:
         inner = optax.adamw(sched, weight_decay=tc.weight_decay)
+    return inner
+
+
+def make_optimizer(tc: TrainConfig, params=None):
     tx = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
-        inner,
+        make_inner_optimizer(tc),
     )
     if params is not None and tc.trainable_filters:
         tx = optax.masked(tx, _trainable_mask(params, tc.trainable_filters))

@@ -62,7 +62,7 @@ step 5 1200 split_a14b.log    python tools/dev/bench_split.py --a14b
 step 6 900  xattn_self.log    python tools/dev/bench_xattn_sweep.py --self
 # official bench phases (merge into the cache for the driver run)
 step 7 700  ph_a14b_block.log python bench.py --phase a14b_block
-step 8 1000 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=800 python bench.py --phase a14b_stream
+step 8 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 BENCH_STREAM_720P=1 python bench.py --phase a14b_stream
 step 9 900  qwen_layer.log    python tools/dev/tpu_qwen_layer_bench.py
 step 10 1500 ph_primary.log   python bench.py --phase primary
 python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/qwen_layer.log

@@ -71,6 +71,11 @@ def parse_args():
     p.add_argument("--ckpt_dir", default=None, help="init weights from checkpoint")
     p.add_argument("--walltime", type=float, default=None,
                    help="seconds; stop+checkpoint before this walltime")
+    p.add_argument("--layer_stream", action="store_true",
+                   help="stream DiT blocks host<->HBM per step (single-chip "
+                        "training of stacks larger than device memory, e.g. "
+                        "A14B on 16 GB; plain flow-match objective — "
+                        "training/streaming.py)")
     p.add_argument("--dummy_data", action="store_true")
     p.add_argument("--with_aligned", action="store_true",
                    help="dummy data includes v1 aligned_emb features")
@@ -201,12 +206,26 @@ def main():
         sh = params_shardings(params, mesh)
         params = jax.tree_util.tree_map(jax.device_put, params, sh)
 
-    tx = make_optimizer(tc, params)
-    state = init_train_state(params, tx)
     # tp>1 partitions the XLA-attention einsums via GSPMD; the Pallas kernel
     # is opaque to the partitioner, so TP forces the XLA path
     attn_impl = "xla" if (args.platform == "cpu" or args.tp > 1) else "auto"
-    train_step = jax.jit(make_unified_train_step(cfg, tc, tx, mesh=mesh, attn_impl=attn_impl))
+    if args.layer_stream:
+        # larger-than-HBM single-chip mode: the wan block stack (and its
+        # grads/optimizer state) lives in HOST memory and streams per block;
+        # plain flow-match objective over the wan DiT (the A14B finetune the
+        # reference does with multi-GPU ZeRO, finetune_model.py:725-732)
+        assert mesh is None, "--layer_stream is the single-device path"
+        assert len(tasks) == 1, "--layer_stream: one dataset (plain t2v loss)"
+        from omnivideo_tpu.training.streaming import StreamedTrainer
+
+        streamer = StreamedTrainer(cfg, tc, attn_impl=attn_impl)
+        state = streamer.init_state(params["wan"])
+        train_step = streamer.train_step
+    else:
+        tx = make_optimizer(tc, params)
+        state = init_train_state(params, tx)
+        train_step = jax.jit(
+            make_unified_train_step(cfg, tc, tx, mesh=mesh, attn_impl=attn_impl))
 
     ckpt = CheckpointManager(str(Path(args.output_dir) / "checkpoints"))
     if args.resume and ckpt.latest_step() is not None:
