@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Measure a REAL full-depth A14B TRAIN step on one chip via layer streaming.
+
+The reference fine-tunes A14B-scale models only with multi-GPU ZeRO
+(finetune_model.py:725-732). training/streaming.py turns that into a
+single-16GB-chip capability: block params/grads/optimizer state live in host
+RAM (125 GB here) and stream per block. This drives ONE exact streamed
+flow-matching step at TRUE A14B dims (5120 x 40 layers, bf16 params) on the
+chip and reports step time + phase breakdown.
+
+    python tools/dev/bench_stream_train.py [--frames 3] [--steps 1]
+
+frames = LATENT frames (3 -> 9 video frames, seq 4,680; 21 -> 81f, 32,760).
+Emits PHASE_JSON lines (mergeable via tools/dev/merge_phase_cache.py).
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+
+def emit(frag):
+    print("PHASE_JSON:" + json.dumps(frag), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=3, help="latent frames")
+    ap.add_argument("--steps", type=int, default=1)
+    ap.add_argument("--task", default="t2v-A14B")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny dims on CPU: smoke the glue, not the chip")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from omnivideo_tpu.configs import WAN_CONFIGS
+    from omnivideo_tpu.models.wan_dit import init_wan_block, init_wan_dit
+    from omnivideo_tpu.training.streaming import (
+        StreamedTrainer, StreamedTrainState, _to_host)
+    from omnivideo_tpu.training.trainer import TrainConfig
+
+    cfg = WAN_CONFIGS[args.task]
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+        cfg = cfg.replace(
+            dit=cfg.dit.replace(dim=64, ffn_dim=128, num_heads=4,
+                                num_layers=3, freq_dim=32, text_dim=48),
+            max_context_len=32)
+    tc = TrainConfig(cfg_dropout=0.0, warmup_steps=1, total_steps=100,
+                     learning_rate=1e-5, optimizer="adafactor")
+    dit = cfg.dit.replace(text_len=cfg.max_context_len)
+    nl = dit.num_layers
+    F, H, W = args.frames, (8 if args.tiny else 60), (8 if args.tiny else 104)
+    seq = F * (H // 2) * (W // 2)
+
+    # host-side stack: one random bf16 block, copied nl times (~0.7 GB each;
+    # copies are REAL — the step updates every block independently)
+    t0 = time.time()
+    shapes = jax.eval_shape(
+        lambda k: init_wan_block(k, dit, jnp.bfloat16), jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    def host_leaf(s):
+        if s.ndim == 1 and s.dtype == np.float32:
+            return np.ones(s.shape, np.float32)
+        return (rng.standard_normal(s.shape, dtype=np.float32) * 0.02
+                ).astype(s.dtype)
+
+    block0 = jax.tree_util.tree_map(host_leaf, shapes)
+    host_blocks = [jax.tree_util.tree_map(np.copy, block0)
+                   for _ in range(nl - 1)] + [block0]
+    blk_gb = sum(l.size * l.dtype.itemsize
+                 for l in jax.tree_util.tree_leaves(block0)) / 1e9
+    print(f"# host stack built: {nl} x {blk_gb:.2f} GB "
+          f"in {time.time() - t0:.0f}s", flush=True)
+
+    trainer = StreamedTrainer(cfg, tc, attn_impl="auto", act_offload=True)
+    resident = init_wan_dit(jax.random.PRNGKey(1), dit, jnp.bfloat16,
+                            with_blocks=False)
+    opt0 = _to_host(trainer.inner.init(block0))
+    state = StreamedTrainState(
+        resident=jax.device_put(resident),
+        resident_opt=trainer.inner.init(jax.device_put(resident)),
+        host_blocks=host_blocks,
+        host_block_opts=[jax.tree_util.tree_map(np.copy, opt0)
+                         for _ in range(nl)],
+        step=0,
+    )
+    batch = {
+        "latents": np.random.default_rng(1).standard_normal(
+            (1, dit.in_dim, F, H, W), dtype=np.float32),
+        "context": (np.random.default_rng(2).standard_normal(
+            (1, cfg.max_context_len, dit.text_dim)) * 0.02
+            ).astype(np.float32),
+    }
+    out = {"a14b_train_stream_seq": seq,
+           "a14b_train_stream_block_gb": round(blk_gb, 2)}
+
+    t0 = time.time()
+    state, m = trainer.train_step(state, batch, jax.random.PRNGKey(3))
+    first = time.time() - t0
+    out["a14b_train_stream_first_step_s"] = round(first, 1)
+    out["a14b_train_stream_loss"] = round(float(m["loss"]), 4)
+    emit(dict(out))
+    print(f"# first (compile+exec) step: {first:.1f}s "
+          f"loss={float(m['loss']):.4f} gnorm={float(m['grad_norm']):.3f}",
+          flush=True)
+
+    for s in range(args.steps):
+        t0 = time.time()
+        state, m = trainer.train_step(state, batch, jax.random.PRNGKey(4 + s))
+        dt = time.time() - t0
+        out["a14b_train_stream_step_s"] = round(dt, 1)
+        emit(dict(out))
+        print(f"# steady step {s}: {dt:.1f}s loss={float(m['loss']):.4f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
