@@ -65,5 +65,12 @@ step 7 700  ph_a14b_block.log python bench.py --phase a14b_block
 step 8 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 BENCH_STREAM_720P=1 python bench.py --phase a14b_stream
 step 9 900  qwen_layer.log    python tools/dev/tpu_qwen_layer_bench.py
 step 10 1500 ph_primary.log   python bench.py --phase primary
-python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/qwen_layer.log
+step 11 1200 stream_train.log python tools/dev/bench_stream_train.py
+python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/qwen_layer.log /tmp/chipq/stream_train.log
 echo "queue complete; merged phase logs into BENCH_LOCAL.json"
+
+# Reduced queue for a late-returning tunnel (outage mode): only the decisive
+# driver-facing numbers, skipping the exploratory sweeps. Usage:
+#     REDUCED=1 bash tools/dev/chip_queue.sh   (START is ignored)
+# (the reduced list lives in comments here; drive it manually:
+#  steps 7, 8, 10, 9, 11 in that order)
