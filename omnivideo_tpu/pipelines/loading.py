@@ -127,6 +127,7 @@ def load_pipeline(
     load_vae: bool = True,
     mesh=None,
     sp=None,
+    **pipe_kwargs,
 ):
     """Assemble the full OmniVideoX2XUnified from a reference checkpoint dir.
 
@@ -184,4 +185,5 @@ def load_pipeline(
     return OmniVideoX2XUnified(
         cfg, low, high, vae=vae, special_tokens=special,
         text_encoder=text_encoder, attn_impl=attn_impl, sp=sp,
+        **pipe_kwargs,  # layer_stream / qk_impl / ew_impl
     )

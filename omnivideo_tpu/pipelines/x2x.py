@@ -84,6 +84,8 @@ class OmniVideoX2XUnified:
         attn_impl: str = "auto",
         sp=None,  # models.wan_dit.SPConfig for sequence-parallel denoising
         layer_stream: bool = False,
+        qk_impl: str = "xla",  # "pallas": fused norm+rope+bound prologue
+        ew_impl: str = "xla",  # "pallas": fused AdaLN sandwich kernel
     ):
         self.config = config
         self.low_noise = low_noise
@@ -92,6 +94,8 @@ class OmniVideoX2XUnified:
         self.special_tokens = special_tokens
         self.text_encoder = text_encoder
         self.attn_impl = attn_impl
+        self.qk_impl = qk_impl
+        self.ew_impl = ew_impl
         self.sp = sp
         self.num_train_timesteps = config.num_train_timesteps
         self.boundary = config.boundary
@@ -117,7 +121,8 @@ class OmniVideoX2XUnified:
                 self._stream[eid] = (
                     resident,
                     BlockStreamingExecutor(self.dit_cfg, blocks,
-                                           attn_impl=attn_impl),
+                                           attn_impl=attn_impl,
+                                           qk_impl=qk_impl),
                 )
 
     # ------------------------------------------------------------------
@@ -129,6 +134,7 @@ class OmniVideoX2XUnified:
         with_vae: bool = True,
         attn_impl: str = "auto",
         layer_stream: bool = False,
+        **pipe_kwargs,
     ) -> "OmniVideoX2XUnified":
         """Random-weight pipeline for smoke tests / benchmarks."""
         from ..models.unified import init_unified_companions
@@ -150,7 +156,7 @@ class OmniVideoX2XUnified:
         if with_vae:
             vae = Wan21VAE.create(init_vae(k4, config.vae), config.vae)
         return cls(config, low, high, vae=vae, attn_impl=attn_impl,
-                   layer_stream=layer_stream)
+                   layer_stream=layer_stream, **pipe_kwargs)
 
     # ------------------------------------------------------------------
     def _encode_text(self, text: str) -> jnp.ndarray:
@@ -184,12 +190,14 @@ class OmniVideoX2XUnified:
 
     def _denoise_segment_fn(self, solver_cls, seg_len: int, seq_len: int):
         """Build (and cache) the jitted per-expert scan."""
-        key = (solver_cls, seg_len, seq_len, self.attn_impl, self.sp)
+        key = (solver_cls, seg_len, seq_len, self.attn_impl, self.sp,
+               self.qk_impl, self.ew_impl)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
         cfg = self.dit_cfg
         attn_impl = self.attn_impl
+        qk_impl, ew_impl = self.qk_impl, self.ew_impl
         sp = self.sp
         scan_step = solver_cls.scan_step
         pdtype = self.config.jnp_param_dtype
@@ -210,6 +218,8 @@ class OmniVideoX2XUnified:
                     seq_len=seq_len,
                     context_embedded=True,
                     attn_impl=attn_impl,
+                    qk_impl=qk_impl,
+                    ew_impl=ew_impl,
                     sp=sp,
                 )
                 # CFG: uncond + g·(cond − uncond) (x2x_gen_unified.py:484)

@@ -366,3 +366,24 @@ def test_reference_bundle_roundtrip():
     )
     assert video.shape == (3, 5, 16, 16)
     assert np.isfinite(video).all()
+
+
+@pytest.mark.slow
+def test_load_pipeline_layer_stream_matches(ckpt_dir):
+    """load_pipeline(layer_stream=True) — the CLI --layer_stream checkpoint
+    path (generate.py passes it through load_pipeline's pipe_kwargs) — must
+    produce the same video as the scanned pipeline."""
+    uni = np.load(GOLDEN / "unified_tiny.npz")
+    kw = dict(
+        precomputed_context=jnp.asarray(uni["ctx"]),
+        precomputed_context_null=jnp.zeros_like(jnp.asarray(uni["ctx"])),
+        ar_vision_input=jnp.asarray(uni["ar_vision"]),
+        visual_emb=jnp.asarray(uni["visual_emb"]),
+        size=(16, 16), frame_num=5, sampling_steps=2, guide_scale=3.0, seed=0,
+    )
+    ref = load_pipeline(CFG, str(ckpt_dir), dtype=jnp.float32,
+                        attn_impl="xla").generate(**kw)
+    out = load_pipeline(CFG, str(ckpt_dir), dtype=jnp.float32,
+                        attn_impl="xla", layer_stream=True).generate(**kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

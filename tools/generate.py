@@ -44,6 +44,11 @@ def parse_args():
     p.add_argument("--dp_rank", type=int, default=None)
     p.add_argument("--dp_world_size", type=int, default=None)
     p.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--qk_impl", default="xla", choices=["xla", "pallas"],
+                   help="pallas: fused rms-norm+rope+bound attention prologue "
+                        "(ops/pallas/qk_prep.py; single-device inference)")
+    p.add_argument("--ew_impl", default="xla", choices=["xla", "pallas"],
+                   help="pallas: fused AdaLN sandwich (ops/pallas/adaln.py)")
     p.add_argument("--layer_stream", action="store_true",
                    help="stream DiT blocks host->HBM per step (single-chip "
                         "deployment for experts larger than device memory, "
@@ -166,17 +171,18 @@ def main():
     if args.layer_stream:
         assert sp is None and mesh is None, \
             "--layer_stream is the single-device path (no sp/fsdp/tp)"
+    impl_kw = dict(layer_stream=args.layer_stream, qk_impl=args.qk_impl,
+                   ew_impl=args.ew_impl)
     if args.random_weights:
         pipe = OmniVideoX2XUnified.random_init(
-            cfg, attn_impl=args.attn_impl, layer_stream=args.layer_stream)
+            cfg, attn_impl=args.attn_impl, **impl_kw)
         pipe.sp = sp
     else:
         assert args.ckpt_dir, "--ckpt_dir required without --random_weights"
         from omnivideo_tpu.pipelines.loading import load_pipeline
 
         pipe = load_pipeline(cfg, args.ckpt_dir, attn_impl=args.attn_impl,
-                             mesh=mesh, sp=sp,
-                             layer_stream=args.layer_stream)
+                             mesh=mesh, sp=sp, **impl_kw)
     if mesh is not None:
         from omnivideo_tpu.parallel.sharding import shard_params
 
