@@ -1062,19 +1062,36 @@ def _backend_probe(timeout_s: float):
 
 
 def _long_wedge_wait():
-    """Single long backoff for a wedged tunnel: one unbounded probe, polled
-    until it answers or the budget runs out. Budget = what the wall-clock
-    deadline can spare after reserving time for the primary phase."""
+    """Long backoff for a wedged tunnel, one probe IN FLIGHT at a time,
+    polled until it answers or the budget runs out. Budget = what the
+    wall-clock deadline can spare after reserving time for the primary phase.
+
+    Two observed failure shapes (round 3/4): a classic wedge makes the probe
+    HANG until it clears (handled by the long poll), while a worker outage
+    makes each probe EXIT with an init error after ~25 min — so a probe
+    that dies unhealthy must be relaunched (after a quiet pause) for as
+    long as the budget allows, not treated as a final verdict."""
     if os.environ.get("BENCH_FORCE_WEDGED"):  # CI: tunnel is "wedged" forever
         return None
     reserve = 480.0  # keep ~8 min to measure the primary once the wedge clears
-    budget = min(float(os.environ.get("BENCH_WEDGE_WAIT_S", "2400")),
-                 _remaining() - reserve)
-    if budget < 120:
-        return None
-    print(f"# tunnel wedged; single long backoff up to {budget:.0f}s "
-          "(wedges clear in 10-40 min)", file=sys.stderr)
-    return _backend_probe(timeout_s=budget)
+    deadline = time.monotonic() + min(
+        float(os.environ.get("BENCH_WEDGE_WAIT_S", "2400")),
+        _remaining() - reserve)
+    attempt = 0
+    while True:
+        left = deadline - time.monotonic()
+        if left < 120:
+            return None
+        attempt += 1
+        print(f"# tunnel wedged; long backoff probe {attempt} "
+              f"(budget {left:.0f}s; wedges clear in 10-40 min)",
+              file=sys.stderr)
+        backend = _backend_probe(timeout_s=left)
+        if backend:
+            return backend
+        # probe exited unhealthy (init error) or budget hit while hanging
+        # (then the next loop iteration falls out on left < 120)
+        time.sleep(min(60.0, max(0.0, deadline - time.monotonic())))
 
 
 def _orchestrate(quick: bool):
