@@ -156,10 +156,11 @@ def make_inner_optimizer(tc: TrainConfig):
 
 
 def make_optimizer(tc: TrainConfig, params=None):
-    tx = optax.chain(
-        optax.clip_by_global_norm(tc.grad_clip),
-        make_inner_optimizer(tc),
-    )
+    # grad_clip=0 disables clipping (optax.clip_by_global_norm(0) would
+    # ZERO every update — trim ratio 0/‖g‖)
+    inner = make_inner_optimizer(tc)
+    tx = (optax.chain(optax.clip_by_global_norm(tc.grad_clip), inner)
+          if tc.grad_clip else inner)
     if params is not None and tc.trainable_filters:
         tx = optax.masked(tx, _trainable_mask(params, tc.trainable_filters))
     if tc.grad_accum_steps > 1:

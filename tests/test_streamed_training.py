@@ -150,3 +150,29 @@ def test_streamed_clip_engages_globally():
     for i, blk in enumerate(s1.host_blocks):
         ref_blk = jax.tree_util.tree_map(lambda a: a[i], ref_p["blocks"])
         _assert_tree_close(blk, ref_blk, rtol=2e-4, atol=1e-7)
+
+
+def test_streamed_fused_update_no_clip_matches():
+    """grad_clip=0 (clipping disabled — make_optimizer now skips the clip
+    transform instead of zeroing updates) fuses the optimizer update into
+    the backward pass: no gradient d2h/h2d roundtrip, no pass B. Must still
+    equal the monolithic no-clip step."""
+    tc = TrainConfig(cfg_dropout=0.0, remat=True, warmup_steps=1,
+                     learning_rate=1e-3, grad_clip=0.0, optimizer="adafactor")
+    params = init_wan_dit(jax.random.PRNGKey(0), CFG.dit, dtype=jnp.float32)
+    batch = _batch()
+    rng = jax.random.PRNGKey(3)
+
+    ref_state, ref_m = _scanned_step(tc, params, batch, rng)
+
+    st = StreamedTrainer(CFG, tc, attn_impl="xla", act_offload=True)
+    s1, m = st.train_step(st.init_state(params), batch, rng)
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    ref_p = ref_state.params
+    for i, blk in enumerate(s1.host_blocks):
+        ref_blk = jax.tree_util.tree_map(lambda a: a[i], ref_p["blocks"])
+        _assert_tree_close(blk, ref_blk, rtol=2e-4, atol=1e-7)
+    _assert_tree_close(s1.resident,
+                       {k: v for k, v in ref_p.items() if k != "blocks"},
+                       rtol=2e-4, atol=1e-7)
