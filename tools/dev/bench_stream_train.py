@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--task", default="t2v-A14B")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims on CPU: smoke the glue, not the chip")
+    ap.add_argument("--fused", action="store_true",
+                    help="grad_clip=0 fused-update mode (no grad host "
+                         "roundtrip, no pass B — ~2x less h2d traffic)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +57,8 @@ def main():
                                 num_layers=3, freq_dim=32, text_dim=48),
             max_context_len=32)
     tc = TrainConfig(cfg_dropout=0.0, warmup_steps=1, total_steps=100,
-                     learning_rate=1e-5, optimizer="adafactor")
+                     learning_rate=1e-5, optimizer="adafactor",
+                     grad_clip=0.0 if args.fused else 0.1)
     dit = cfg.dit.replace(text_len=cfg.max_context_len)
     nl = dit.num_layers
     F, H, W = args.frames, (8 if args.tiny else 60), (8 if args.tiny else 104)
@@ -100,14 +104,15 @@ def main():
             (1, cfg.max_context_len, dit.text_dim)) * 0.02
             ).astype(np.float32),
     }
+    sfx = "_fused" if args.fused else ""
     out = {"a14b_train_stream_seq": seq,
            "a14b_train_stream_block_gb": round(blk_gb, 2)}
 
     t0 = time.time()
     state, m = trainer.train_step(state, batch, jax.random.PRNGKey(3))
     first = time.time() - t0
-    out["a14b_train_stream_first_step_s"] = round(first, 1)
-    out["a14b_train_stream_loss"] = round(float(m["loss"]), 4)
+    out[f"a14b_train_stream{sfx}_first_step_s"] = round(first, 1)
+    out[f"a14b_train_stream{sfx}_loss"] = round(float(m["loss"]), 4)
     emit(dict(out))
     print(f"# first (compile+exec) step: {first:.1f}s "
           f"loss={float(m['loss']):.4f} gnorm={float(m['grad_norm']):.3f}",
@@ -117,7 +122,7 @@ def main():
         t0 = time.time()
         state, m = trainer.train_step(state, batch, jax.random.PRNGKey(4 + s))
         dt = time.time() - t0
-        out["a14b_train_stream_step_s"] = round(dt, 1)
+        out[f"a14b_train_stream{sfx}_step_s"] = round(dt, 1)
         emit(dict(out))
         print(f"# steady step {s}: {dt:.1f}s loss={float(m['loss']):.4f}",
               flush=True)
