@@ -136,20 +136,38 @@ class OmniVideoX2XUnified:
         layer_stream: bool = False,
         **pipe_kwargs,
     ) -> "OmniVideoX2XUnified":
-        """Random-weight pipeline for smoke tests / benchmarks."""
+        """Random-weight pipeline for smoke tests / benchmarks.
+
+        With layer_stream=True the wan trees are built HOST-SIDE (eval_shape
+        structure + numpy values): at A14B dims a device init would OOM the
+        16 GB chip before the ctor could move the blocks to host memory."""
         from ..models.unified import init_unified_companions
 
         key = jax.random.PRNGKey(seed)
         k1, k2, k3, k4 = jax.random.split(key, 4)
         dtype = config.jnp_param_dtype
+
+        def init_wan(k):
+            if not layer_stream:
+                return init_wan_dit(k, config.dit, dtype=dtype)
+            shapes = jax.eval_shape(
+                lambda kk: init_wan_dit(kk, config.dit, dtype=dtype), k)
+            rng = np.random.default_rng(int(k[-1]))
+            return jax.tree_util.tree_map(
+                lambda s: np.ones(s.shape, np.float32)
+                if (s.ndim == 1 and s.dtype == np.float32)
+                else (rng.standard_normal(s.shape, dtype=np.float32) * 0.02
+                      ).astype(s.dtype),
+                shapes)
+
         low = ExpertParams(
-            wan=init_wan_dit(k1, config.dit, dtype=dtype),
+            wan=init_wan(k1),
             companions=init_unified_companions(k2, config),
         )
         high = low
         if config.dual_expert:
             high = ExpertParams(
-                wan=init_wan_dit(k3, config.dit, dtype=dtype),
+                wan=init_wan(k3),
                 companions=low.companions,
             )
         vae = None
