@@ -66,6 +66,8 @@ step 8 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 BENCH_STREAM_720P=
 step 9 900  qwen_layer.log    python tools/dev/tpu_qwen_layer_bench.py
 step 10 1500 ph_primary.log   python bench.py --phase primary
 step 11 1200 stream_train.log python tools/dev/bench_stream_train.py
+# flagship artifact: REAL A14B 480p 81-frame video on one 16 GB chip
+step 12 1500 a14b_e2e.log     python tools/generate.py --task t2v-A14B --size 832*480 --frame_num 81 --sample_steps 4 --input samples/t2v_example.jsonl --output_dir /tmp/a14b_e2e --random_weights --layer_stream --vae_dtype bfloat16
 python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/qwen_layer.log /tmp/chipq/stream_train.log
 echo "queue complete; merged phase logs into BENCH_LOCAL.json"
 
