@@ -1058,6 +1058,12 @@ def _backend_probe(timeout_s: float):
                 return line.split("=", 1)[1]
     finally:
         out.close()
+        # completed probe: remove its log (abandoned probes keep theirs —
+        # their file handle is still the orphan's stdout)
+        try:
+            os.unlink(out.name)
+        except OSError:
+            pass
     return None
 
 

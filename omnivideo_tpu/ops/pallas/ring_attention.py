@@ -370,7 +370,6 @@ def ring_flash_attention_shard(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def ring_flash_attention_trainable(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -382,6 +381,7 @@ def ring_flash_attention_trainable(
     interpret: bool = False,
     mesh_axes: Optional[tuple] = None,
     causal: Optional[str] = None,
+    kv_lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Differentiable fused ring flash attention (call inside shard_map).
 
@@ -393,7 +393,24 @@ def ring_flash_attention_trainable(
 
     causal: None, "block" (whole-shard visibility — invisible steps get zero
     gradient), or "token" (own-shard step uses a dense triangular backward
-    with the global row stats; other steps stay on the Pallas kernels)."""
+    with the global row stats; other steps stay on the Pallas kernels).
+
+    kv_lens: optional [B] valid GLOBAL lengths (contiguous end-padding —
+    reference sp-multiple seq rounding, x2x_gen_unified.py:332-334).
+    Non-causal only; padded rows get zero output and zero gradient."""
+    if kv_lens is None:
+        return _ring_trainable_nolens(
+            q, k, v, axis_name, softmax_scale, block_q, block_k, interpret,
+            mesh_axes, causal)
+    assert causal is None, "kv_lens supports the non-causal (DiT) path only"
+    return _ring_trainable_lens(
+        q, k, v, kv_lens.astype(jnp.int32), axis_name, softmax_scale,
+        block_q, block_k, interpret, mesh_axes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _ring_trainable_nolens(q, k, v, axis_name, softmax_scale, block_q,
+                           block_k, interpret, mesh_axes, causal):
     return ring_flash_attention_shard(
         q, k, v, axis_name=axis_name, softmax_scale=softmax_scale,
         block_q=block_q, block_k=block_k, interpret=interpret,
@@ -431,7 +448,7 @@ def _dense_causal_bwd_step(qt, kt, vt, do, lse_b, delta_b, scale):
 
 
 def _ring_trainable_bwd(axis_name, softmax_scale, block_q, block_k, interpret,
-                        mesh_axes, causal, res, g):
+                        mesh_axes, causal, res, g, lens=None):
     from .flash_attention import flash_bwd_core
 
     q, k, v, out, lse = res
@@ -448,6 +465,17 @@ def _ring_trainable_bwd(axis_name, softmax_scale, block_q, block_k, interpret,
     lse_b = jnp.broadcast_to(lse.reshape(BN, Lq)[:, :, None], (BN, Lq, 128))
     delta_b = jnp.broadcast_to(delta[:, :, None], (BN, Lq, 128))
     kv_lens_bn = jnp.full((BN,), Lk, jnp.int32)
+
+    my_off = jax.lax.axis_index(axis_name) * Lq
+    lens_bn = None
+    if lens is not None:
+        # padded rows: fwd lse is ≈ -inf garbage (all columns masked); force
+        # it to +BIG so p = exp(s − lse) underflows to exactly 0 in the
+        # kernels — zero dq for padded rows, zero dk/dv contribution from
+        # them, no overflow risk (cheaper + safer than masking dO).
+        lens_bn = jnp.repeat(lens.astype(jnp.int32), N)  # [BN], b-major like to_t
+        row_valid = (my_off + jnp.arange(Lq))[None, :] < lens_bn[:, None]
+        lse_b = jnp.where(row_valid[:, :, None], lse_b, 1e9)
 
     perm_fn = lambda n: [(i, (i + 1) % n) for i in range(n)]
 
@@ -473,8 +501,15 @@ def _ring_trainable_bwd(axis_name, softmax_scale, block_q, block_k, interpret,
                 for f, t in zip(full, tri)
             )
         else:
+            if lens_bn is not None:
+                # the visiting chunk originates at shard `src` → its global
+                # offset is src·Lk; valid LOCAL columns = lens − offset,
+                # clipped to [0, Lk] (0 ⇒ the kernels skip every kv block)
+                step_lens = jnp.clip(lens_bn - src * Lk, 0, Lk)
+            else:
+                step_lens = kv_lens_bn
             dq_p, dk_p, dv_p = flash_bwd_core(
-                qt, kt_c, vt_c, do, lse_b, delta_b, kv_lens_bn, scale=scale,
+                qt, kt_c, vt_c, do, lse_b, delta_b, step_lens, scale=scale,
                 block_q=block_q, block_k=block_k, interpret=interpret,
             )
             if causal == "block":
@@ -503,4 +538,38 @@ def _ring_trainable_bwd(axis_name, softmax_scale, block_q, block_k, interpret,
             back(dv_t, Lk).astype(v.dtype))
 
 
-ring_flash_attention_trainable.defvjp(_ring_trainable_fwd, _ring_trainable_bwd)
+_ring_trainable_nolens.defvjp(_ring_trainable_fwd, _ring_trainable_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _ring_trainable_lens(q, k, v, kv_lens, axis_name, softmax_scale, block_q,
+                         block_k, interpret, mesh_axes):
+    return ring_flash_attention_shard(
+        q, k, v, axis_name=axis_name, softmax_scale=softmax_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+        mesh_axes=mesh_axes, kv_lens=kv_lens,
+    )
+
+
+def _ring_lens_fwd(q, k, v, kv_lens, axis_name, softmax_scale, block_q,
+                   block_k, interpret, mesh_axes):
+    out, lse = ring_flash_attention_shard(
+        q, k, v, axis_name=axis_name, softmax_scale=softmax_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+        return_lse=True, mesh_axes=mesh_axes, kv_lens=kv_lens,
+    )
+    return out, (q, k, v, out, lse, kv_lens)
+
+
+def _ring_lens_bwd(axis_name, softmax_scale, block_q, block_k, interpret,
+                   mesh_axes, res, g):
+    q, k, v, out, lse, kv_lens = res
+    dq, dk, dv = _ring_trainable_bwd(
+        axis_name, softmax_scale, block_q, block_k, interpret, mesh_axes,
+        None, (q, k, v, out, lse), g, lens=kv_lens)
+    # integer primal → float0 cotangent (jax custom_vjp convention)
+    dlens = np.zeros(kv_lens.shape, jax.dtypes.float0)
+    return dq, dk, dv, dlens
+
+
+_ring_trainable_lens.defvjp(_ring_lens_fwd, _ring_lens_bwd)

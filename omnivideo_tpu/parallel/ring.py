@@ -161,16 +161,17 @@ def ring_attention(
     spec = P(None, axis, None, None)
     if impl == "pallas":
         assert not causal, "fused pallas ring kernel is non-causal (DiT path)"
-        from ..ops.pallas.ring_attention import (
-            ring_flash_attention_shard, ring_flash_attention_trainable)
+        from ..ops.pallas.ring_attention import ring_flash_attention_trainable
 
         if interpret is None:  # Mosaic interpreter off-TPU (tests/virtual mesh)
             interpret = jax.default_backend() != "tpu"
         if kv_lens is not None:
             # varlen path: the fused kernel masks by GLOBAL position (origin
-            # shard offset + local offset), so contiguous end-padding works
+            # shard offset + local offset), so contiguous end-padding works.
+            # Trainable variant — padded ring SP must survive jax.grad
+            # (padded rows get zero output AND zero gradient).
             def local(q, k, v, lens):
-                return ring_flash_attention_shard(
+                return ring_flash_attention_trainable(
                     q, k, v, axis_name=axis, softmax_scale=softmax_scale,
                     interpret=interpret, mesh_axes=tuple(mesh.axis_names),
                     kv_lens=lens)
@@ -262,6 +263,17 @@ def hybrid_attention(
             from ..ops.pallas.ring_attention import ring_flash_attention_trainable
 
             if mask2 is not None:
+                # post-Ulysses K order is a rank-order concat, so global
+                # end-padding is NOT contiguous in ring-local coordinates —
+                # the fused kernel's offset arithmetic doesn't apply. Fall
+                # back to the XLA ppermute ring (correct, but materializes
+                # [B,N,Lq,Lk] logits per step) and say so.
+                import warnings
+                warnings.warn(
+                    "hybrid_attention: ring_impl='pallas' with kv_lens falls "
+                    "back to the unfused XLA ring (mask rides the ring; the "
+                    "fused kernel only supports contiguous global padding)",
+                    stacklevel=2)
                 o = ring_attention_local(q2, k2, v2, axis=ring_axis,
                                          kv_mask=mask2)
             else:

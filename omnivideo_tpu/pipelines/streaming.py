@@ -46,24 +46,21 @@ from ..models.wan_dit import (
     unpatchify,
     wan_block_apply,
     embed_context,
+    _dense,
 )
 
 
-def _dense_np(p, x):
-    y = x @ p["kernel"]
-    return y + p["bias"].astype(y.dtype)
-
-
 @functools.lru_cache(maxsize=8)
-def _block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str = "xla"):
-    """One jitted block function per (cfg, attn_impl, qk_impl) — shared
-    across executor instances so a benchmark that builds several executors
-    over the same config pays the dim-5120 block compile exactly once."""
+def _block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str = "xla",
+                  ew_impl: str = "xla"):
+    """One jitted block function per (cfg, attn_impl, qk_impl, ew_impl) —
+    shared across executor instances so a benchmark that builds several
+    executors over the same config pays the dim-5120 block compile once."""
 
     @jax.jit
     def apply(bp, x, aux):
         return wan_block_apply(bp, x, aux, cfg, attn_impl=attn_impl,
-                               qk_impl=qk_impl)
+                               qk_impl=qk_impl, ew_impl=ew_impl)
 
     return apply
 
@@ -86,6 +83,7 @@ class BlockStreamingExecutor:
         window: int = 2,
         attn_impl: str = "auto",
         qk_impl: str = "xla",
+        ew_impl: str = "xla",
         device=None,
     ):
         assert window >= 1
@@ -93,7 +91,7 @@ class BlockStreamingExecutor:
         self.host_blocks = list(host_blocks)
         self.window = window
         self.device = device or jax.devices()[0]
-        self._block_fn = _block_fn_for(cfg, attn_impl, qk_impl)
+        self._block_fn = _block_fn_for(cfg, attn_impl, qk_impl, ew_impl)
 
     def _put(self, i):
         return jax.tree_util.tree_map(
@@ -133,7 +131,7 @@ def _pre_post_for(cfg: WanDiTConfig, grid, L: int, context_embedded: bool,
     @jax.jit
     def pre(rp, x, t, context):
         tokens = patchify(x.astype(pdtype), cfg.patch_size)
-        h = _dense_np(rp["patch_embedding"], tokens)
+        h = _dense(rp["patch_embedding"], tokens)
         if L > L_nat:
             h = jnp.pad(h, ((0, 0), (0, L - L_nat), (0, 0)))
         e, e0 = time_embeddings(rp, cfg, t)

@@ -122,7 +122,8 @@ class OmniVideoX2XUnified:
                     resident,
                     BlockStreamingExecutor(self.dit_cfg, blocks,
                                            attn_impl=attn_impl,
-                                           qk_impl=qk_impl),
+                                           qk_impl=qk_impl,
+                                           ew_impl=ew_impl),
                 )
 
     # ------------------------------------------------------------------

@@ -377,3 +377,50 @@ def test_ppermute_ring_token_causal():
     for a, b in zip(g_r, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_ring_trainable_varlen_gradients_match_dense():
+    """Padded-sequence training through the fused ring kernel: kv_lens output
+    AND gradients match dense masked attention; padded rows get zero grad
+    (reference sp-multiple seq rounding, x2x_gen_unified.py:332-334)."""
+    from omnivideo_tpu.ops.pallas.ring_attention import (
+        ring_flash_attention_trainable,
+    )
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(11)
+    B, L, N, D = 2, 512, 2, 128
+    lens = jnp.asarray([384, 512], jnp.int32)  # batch 0 padded by one shard
+    q = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32)
+    # upstream cotangent zeroed on padded rows (the loss never sees them)
+    valid = (jnp.arange(L)[None, :, None, None] < lens[:, None, None, None])
+    w = jnp.asarray(rng.standard_normal((B, L, N, D)), jnp.float32) * valid
+
+    def ring_loss(q, k, v):
+        f = shard_map(
+            lambda q, k, v, lens: ring_flash_attention_trainable(
+                q, k, v, axis_name="seq", block_q=128, block_k=128,
+                interpret=True, kv_lens=lens),
+            mesh=mesh,
+            in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq"), P(None)),
+            out_specs=P(None, "seq"),
+            check_vma=False,
+        )
+        return jnp.sum(f(q, k, v, lens) * w)
+
+    def dense_loss(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, kv_lens=lens) * valid * w)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_dense, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3, err_msg=name
+        )
+    # padded rows must not leak gradient
+    pad = ~np.asarray(valid)[:, :, 0, 0]  # [B, L]
+    for g, name in zip(g_ring, ("dq", "dk", "dv")):
+        leak = float(np.max(np.abs(np.asarray(g)[pad])))
+        assert leak == 0.0, f"{name} leaks {leak} into padded rows"

@@ -51,28 +51,43 @@ step() {  # step <n> <timeout> <log> <cmd...>
   echo "=== step $n: $* (timeout ${t}s) ==="
   gate || { echo "[step $n] tunnel dead; aborting queue"; exit 1; }
   timeout "$t" "$@" 2>&1 | tee "/tmp/chipq/$log"
-  echo "=== step $n done rc=$? ==="
+  local rc=${PIPESTATUS[0]}   # the command's rc, not tee's (124 = timeout kill)
+  echo "=== step $n done rc=$rc ==="
 }
 
-step 1 420  kernel_check.log  python tools/dev/tpu_kernel_check.py
-step 2 900  xattn_cross.log   python tools/dev/bench_xattn_sweep.py --cross
-step 3 1500 a14b_ab.log       python tools/dev/bench_a14b_ab.py --tag 480p
-step 4 1200 qk_ab.log         python tools/dev/bench_qk_ab.py
-step 5 1200 split_a14b.log    python tools/dev/bench_split.py --a14b
-step 6 900  xattn_self.log    python tools/dev/bench_xattn_sweep.py --self
-# official bench phases (merge into the cache for the driver run)
-step 7 700  ph_a14b_block.log python bench.py --phase a14b_block
-step 8 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 BENCH_STREAM_720P=1 python bench.py --phase a14b_stream
-step 9 900  qwen_layer.log    python tools/dev/tpu_qwen_layer_bench.py
-step 10 1500 ph_primary.log   python bench.py --phase primary
-step 11 1200 stream_train.log python tools/dev/bench_stream_train.py
+# Step catalog. Two orders:
+#  - default: exploratory sweeps first (plenty of chip time available)
+#  - REDUCED=1: outage mode — decisive driver-facing numbers FIRST so a
+#    late-returning tunnel still yields a fresh BENCH + the key round-4
+#    measurements before anything exploratory runs.
+s_kernel()  { step "$1" 420  kernel_check.log  python tools/dev/tpu_kernel_check.py; }
+s_xcross()  { step "$1" 900  xattn_cross.log   python tools/dev/bench_xattn_sweep.py --cross; }
+s_a14b_ab() { step "$1" 1500 a14b_ab.log       python tools/dev/bench_a14b_ab.py --tag 480p; }
+s_qk_ab()   { step "$1" 1200 qk_ab.log         python tools/dev/bench_qk_ab.py; }
+s_split()   { step "$1" 1200 split_a14b.log    python tools/dev/bench_split.py --a14b; }
+s_xself()   { step "$1" 900  xattn_self.log    python tools/dev/bench_xattn_sweep.py --self; }
+s_block()   { step "$1" 700  ph_a14b_block.log python bench.py --phase a14b_block; }
+s_stream()  { step "$1" 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 BENCH_STREAM_720P=1 python bench.py --phase a14b_stream; }
+s_qwen()    { step "$1" 900  qwen_layer.log    python tools/dev/tpu_qwen_layer_bench.py; }
+s_primary() { step "$1" 1500 ph_primary.log    python bench.py --phase primary; }
+s_strain()  { step "$1" 1200 stream_train.log  python tools/dev/bench_stream_train.py; }
 # flagship artifact: REAL A14B 480p 81-frame video on one 16 GB chip
-step 12 1500 a14b_e2e.log     python tools/generate.py --task t2v-A14B --size 832*480 --frame_num 81 --sample_steps 4 --input samples/t2v_example.jsonl --output_dir /tmp/a14b_e2e --random_weights --layer_stream --vae_dtype bfloat16
-python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/qwen_layer.log /tmp/chipq/stream_train.log
-echo "queue complete; merged phase logs into BENCH_LOCAL.json"
+s_e2e()     { step "$1" 1500 a14b_e2e.log      python tools/generate.py --task t2v-A14B --size 832*480 --frame_num 81 --sample_steps 4 --input samples/t2v_example.jsonl --output_dir /tmp/a14b_e2e --random_weights --layer_stream --vae_dtype bfloat16; }
+merge() { python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/qwen_layer.log /tmp/chipq/stream_train.log; }
 
-# Reduced queue for a late-returning tunnel (outage mode): only the decisive
-# driver-facing numbers, skipping the exploratory sweeps. Usage:
-#     REDUCED=1 bash tools/dev/chip_queue.sh   (START is ignored)
-# (the reduced list lives in comments here; drive it manually:
-#  steps 7, 8, 10, 9, 11 in that order)
+if [ "${REDUCED:-0}" = "1" ]; then
+  # decisive first; merge after EVERY phase so a mid-queue wedge still
+  # leaves everything measured so far in BENCH_LOCAL.json
+  s_kernel 1
+  s_primary 2;  merge
+  s_block 3;    merge
+  s_stream 4;   merge
+  s_qwen 5;     merge
+  s_strain 6;   merge
+  s_e2e 7
+else
+  s_kernel 1; s_xcross 2; s_a14b_ab 3; s_qk_ab 4; s_split 5; s_xself 6
+  s_block 7; s_stream 8; s_qwen 9; s_primary 10; s_strain 11; s_e2e 12
+  merge
+fi
+echo "queue complete; merged phase logs into BENCH_LOCAL.json"

@@ -19,6 +19,8 @@ def main():
     detail = cache.setdefault("detail", {})
     merged = []
     for logf in sys.argv[1:]:
+        if not Path(logf).exists():  # mid-queue merges: later logs absent
+            continue
         for line in Path(logf).read_text().splitlines():
             if not line.startswith("PHASE_JSON:"):
                 continue
