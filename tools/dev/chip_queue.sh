@@ -48,6 +48,16 @@ gate() {
 step() {  # step <n> <timeout> <log> <cmd...>
   local n=$1 t=$2 log=$3; shift 3
   [ "$n" -lt "$START" ] && return 0
+  # Round-end guard: /tmp/ROUND_DEADLINE (epoch secs) marks when the driver
+  # may run bench.py — a queue step still holding the chip then would make
+  # the driver's own run hang. Skip any step that couldn't finish in time.
+  if [ -f /tmp/ROUND_DEADLINE ]; then
+    local dl=$(cat /tmp/ROUND_DEADLINE)
+    if [ $(( $(date +%s) + t )) -ge "$dl" ]; then
+      echo "[step $n] skipped: would overrun ROUND_DEADLINE ($(date -u -d "@$dl" +%H:%M:%S))" | tee -a /tmp/chipq/gate.log
+      return 0
+    fi
+  fi
   echo "=== step $n: $* (timeout ${t}s) ==="
   gate || { echo "[step $n] tunnel dead; aborting queue"; exit 1; }
   timeout "$t" "$@" 2>&1 | tee "/tmp/chipq/$log"
