@@ -94,7 +94,9 @@ if [ "${REDUCED:-0}" = "1" ]; then
   s_stream 4;   merge
   s_qwen 5;     merge
   s_strain 6;   merge
-  s_e2e 7
+  s_qk_ab 7
+  s_a14b_ab 8
+  s_e2e 9
 else
   s_kernel 1; s_xcross 2; s_a14b_ab 3; s_qk_ab 4; s_split 5; s_xself 6
   s_block 7; s_stream 8; s_qwen 9; s_primary 10; s_strain 11; s_e2e 12
