@@ -821,7 +821,13 @@ _EMIT_STATE = {
     "vs_baseline": None,
     "detail": {},         # fresh detail keys
     "cache": None,        # last-good BENCH_LOCAL.json contents
+    "probe_log": [],      # outage evidence: (utc, outcome) per probe attempt
 }
+
+
+def _log_probe(outcome: str):
+    ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    _EMIT_STATE["probe_log"].append(f"{ts} {outcome}")
 
 
 def _load_cache():
@@ -873,6 +879,9 @@ def _emit_best():
         detail["stale"] = True
         detail["stale_measured_at"] = cache.get("measured_at")
         detail["stale_reason"] = "tunnel wedged or killed before fresh primary"
+        if _EMIT_STATE["probe_log"]:
+            # verifiable outage evidence: every probe attempt this run
+            detail["stale_evidence"] = _EMIT_STATE["probe_log"][-8:]
     if value is None:
         # no fresh measurement and no cache — still print a parseable line
         value, vsb = -1.0, 0.0
@@ -1041,8 +1050,9 @@ def _backend_probe(timeout_s: float):
             "assert float(jnp.sum(x @ x)) > 0;"
             "print('BACKEND=' + jax.default_backend(), flush=True)")
     out = tempfile.NamedTemporaryFile(mode="w+", suffix=".log", delete=False)
+    t0 = time.monotonic()
     p = subprocess.Popen([sys.executable, "-c", code],
-                         stdout=out, stderr=subprocess.DEVNULL)
+                         stdout=out, stderr=out)
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
         if p.poll() is not None:
@@ -1050,12 +1060,19 @@ def _backend_probe(timeout_s: float):
         time.sleep(3)
     if p.poll() is None:
         _ABANDONED_PROBES.append(p)  # leave it running — do NOT kill
+        _log_probe(f"hang >{time.monotonic() - t0:.0f}s (abandoned, not killed)")
         return None
     try:
         out.seek(0)
-        for line in out.read().splitlines():
+        lines = out.read().splitlines()
+        for line in lines:
             if line.startswith("BACKEND="):
+                _log_probe(f"ok {line} after {time.monotonic() - t0:.0f}s")
                 return line.split("=", 1)[1]
+        err = next((ln for ln in reversed(lines)
+                    if "Error" in ln or "UNAVAILABLE" in ln), "")
+        _log_probe(f"exit rc={p.returncode} after "
+                   f"{time.monotonic() - t0:.0f}s: {err[:160]}")
     finally:
         out.close()
         # completed probe: remove its log (abandoned probes keep theirs —
