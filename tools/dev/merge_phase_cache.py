@@ -46,6 +46,11 @@ def main():
             detail["e2e_720p_50steps_denoise_s"]
             + detail.get("vae_decode_720p_s", 0.0)
             + detail.get("t5_xxl_encode_s", 0.0), 2)
+    if not merged:
+        # nothing new: leave the cache (and its measured_at provenance)
+        # untouched — bumping the timestamp would falsely date old numbers
+        print("merged keys: [] (cache left untouched)")
+        return
     cache["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     cache["detail"].pop("provenance", None)
     CACHE.write_text(json.dumps(cache, indent=1) + "\n")
