@@ -103,3 +103,32 @@ def test_wedged_emission_is_fast(tmp_path):
                        capture_output=True, text=True, timeout=120)
     assert time.monotonic() - t0 < 60
     assert _last_json_line(r.stdout)["detail"]["stale"] is True
+
+
+def test_merge_phase_cache_noop_preserves_measured_at(tmp_path):
+    """An empty merge (all phase logs missing) must not re-date the cache:
+    measured_at is the staleness provenance the driver artifact cites."""
+    import shutil
+
+    tool = tmp_path / "tools" / "dev" / "merge_phase_cache.py"
+    tool.parent.mkdir(parents=True)
+    tool.write_text((REPO / "tools/dev/merge_phase_cache.py").read_text())
+    cache = tmp_path / "BENCH_LOCAL.json"
+    cache.write_text(json.dumps({
+        "value": 4.0, "vs_baseline": 0.8, "detail": {"k": 1},
+        "measured_at": "2026-01-01T00:00:00Z"}))
+    before = cache.read_text()
+
+    # no-op merge: missing log → untouched file
+    subprocess.run([sys.executable, str(tool), str(tmp_path / "missing.log")],
+                   check=True, capture_output=True, timeout=60)
+    assert cache.read_text() == before
+
+    # real merge: new key lands and measured_at refreshes
+    log = tmp_path / "phase.log"
+    log.write_text('PHASE_JSON:{"new_key": 2.5}\n')
+    subprocess.run([sys.executable, str(tool), str(log)],
+                   check=True, capture_output=True, timeout=60)
+    merged = json.loads(cache.read_text())
+    assert merged["detail"]["new_key"] == 2.5
+    assert merged["measured_at"] != "2026-01-01T00:00:00Z"
