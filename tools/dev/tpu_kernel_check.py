@@ -39,6 +39,52 @@ def main():
               f"max_err={err:.4f} bounded={err_b:.4f}")
         assert err < 0.07
         assert err_b < 0.07
+
+    # round-4 paths -------------------------------------------------------
+    import os
+
+    # multi-step bounded cross-attention (divisor bk + wide q tiles):
+    # A14B-context-shaped Lk with padded kv_lens
+    for lens in (None, [6272, 5000]):
+        B, Lq, Lk, N, D = 2, 1560, 6272, 4, 128
+        q = jnp.asarray(rng.standard_normal((B, Lq, N, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, Lk, N, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, Lk, N, D)), jnp.bfloat16)
+        kv = None if lens is None else jnp.array(lens, jnp.int32)
+        ref = attention_xla(q, k, v, kv).astype(jnp.float32)
+        os.environ["FLASH_XATTN_MODE"] = "multi"
+        try:
+            out_m = flash_attention(q, k, v, kv,
+                                    assume_normalized=True).astype(jnp.float32)
+        finally:
+            os.environ.pop("FLASH_XATTN_MODE", None)
+        err_m = float(jnp.max(jnp.abs(ref - out_m)))
+        print(f"xattn multi Lk{Lk} lens={lens}: max_err={err_m:.4f}")
+        assert err_m < 0.07
+
+    # fused qk-prep prologue (rms-norm + gain + rope + row-norm bound)
+    from omnivideo_tpu.ops.norms import rms_norm
+    from omnivideo_tpu.ops.pallas.qk_prep import qk_prep
+    from omnivideo_tpu.ops.rope import apply_rope, rope_3d_tables
+
+    for N, hd, L, with_rope in ((4, 128, 1560, True), (4, 128, 512, False)):
+        d = N * hd
+        x = jnp.asarray(rng.standard_normal((2, L, d)), jnp.bfloat16)
+        g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32)
+        cos, sin = (rope_3d_tables((10, 13, 12), hd, 2048, 10000.0)
+                    if with_rope else (None, None))
+        ref = rms_norm(x, g, 1e-5).reshape(2, L, N, hd)
+        if with_rope:
+            ref = apply_rope(ref, cos, sin)
+        y, rn = qk_prep(x, g, cos, sin, N)
+        err_q = float(jnp.max(jnp.abs(y.astype(jnp.float32)
+                                      - ref.astype(jnp.float32))))
+        actual = jnp.max(jnp.linalg.norm(y.astype(jnp.float32), axis=-1),
+                         axis=1)
+        bound_ok = bool(jnp.all(rn >= actual - 1e-6))
+        print(f"qk_prep L{L} rope={with_rope}: max_err={err_q:.4f} "
+              f"bound_valid={bound_ok}")
+        assert err_q < 0.04 and bound_ok
     print("OK")
 
 
