@@ -882,6 +882,16 @@ def _emit_best():
         if _EMIT_STATE["probe_log"]:
             # verifiable outage evidence: every probe attempt this run
             detail["stale_evidence"] = _EMIT_STATE["probe_log"][-8:]
+        outage = []
+        for wl in ("/tmp/tpu_watch.log", "/tmp/tunnel_watch.log"):
+            try:  # best-effort: recovery watchers log every failed probe
+                with open(wl) as f:
+                    outage += [ln.strip() for ln in f
+                               if "unhealthy" in ln or "failed" in ln][-6:]
+            except OSError:
+                pass
+        if outage:
+            detail["stale_outage_log"] = outage[-10:]
     if value is None:
         # no fresh measurement and no cache — still print a parseable line
         value, vsb = -1.0, 0.0
