@@ -60,6 +60,12 @@ step() {  # step <n> <timeout> <log> <cmd...>
   fi
   echo "=== step $n: $* (timeout ${t}s) ==="
   gate || { echo "[step $n] tunnel dead; aborting queue"; exit 1; }
+  # the gate can wait tens of minutes — re-check the deadline after it
+  if [ -f /tmp/ROUND_DEADLINE ] && \
+     [ $(( $(date +%s) + t )) -ge "$(cat /tmp/ROUND_DEADLINE)" ]; then
+    echo "[step $n] skipped post-gate: would overrun ROUND_DEADLINE" | tee -a /tmp/chipq/gate.log
+    return 0
+  fi
   timeout "$t" "$@" 2>&1 | tee "/tmp/chipq/$log"
   local rc=${PIPESTATUS[0]}   # the command's rc, not tee's (124 = timeout kill)
   echo "=== step $n done rc=$rc ==="
