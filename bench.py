@@ -878,7 +878,15 @@ def _emit_best():
         value, vsb = cache.get("value"), cache.get("vs_baseline")
         detail["stale"] = True
         detail["stale_measured_at"] = cache.get("measured_at")
-        detail["stale_reason"] = "tunnel wedged or killed before fresh primary"
+        plog = _EMIT_STATE["probe_log"]
+        if plog and any("exit rc=" in p for p in plog):
+            detail["stale_reason"] = ("backend outage: probes exit with init "
+                                      "errors (see stale_evidence)")
+        elif plog:
+            detail["stale_reason"] = ("tunnel wedged: probes hang without "
+                                      "completing (see stale_evidence)")
+        else:
+            detail["stale_reason"] = "tunnel wedged or killed before fresh primary"
         if _EMIT_STATE["probe_log"]:
             # verifiable outage evidence: every probe attempt this run
             detail["stale_evidence"] = _EMIT_STATE["probe_log"][-8:]
