@@ -268,7 +268,8 @@ def bench_720p_step():
     ctx = jax.random.normal(jax.random.PRNGKey(2),
                             (2, cfg.max_context_len, dit_cfg.text_dim), jnp.bfloat16)
     fwd = jax.jit(lambda p, x, t, c: jnp.sum(
-        wan_dit_apply(p, dit_cfg, x, t, c, attn_impl="auto").astype(jnp.float32)))
+        wan_dit_apply(p, dit_cfg, x, t, c, attn_impl="auto",
+                      qk_impl="auto", ew_impl="auto").astype(jnp.float32)))
     step_s = _timed(lambda *a: float(fwd(*a)), params, x, t, ctx, n=2)
     _phase_emit({"dit_720p_step_s": round(step_s, 3)})
     del params, x, ctx, fwd
@@ -322,7 +323,9 @@ def bench_a14b_block():
         reps = 4
         fwd = jax.jit(lambda p, xx, aux: jnp.sum(
             jax.lax.scan(lambda c, _: (wan_block_apply(p, c, aux, cfg,
-                                                       attn_impl="auto"), None),
+                                                       attn_impl="auto",
+                                                       qk_impl="auto",
+                                                       ew_impl="auto"), None),
                          xx, None, length=reps)[0].astype(jnp.float32)))
         t = _timed(lambda *a: float(fwd(*a)), params, x, aux, n=2) / reps
         flops = batch * (2 * L * d * d * 4 + 4 * L * L * d + 2 * L * d * d * 2
@@ -687,7 +690,8 @@ def bench_primary(quick: bool):
     # execution by fetching a scalar reduction of the output.
     fwd = jax.jit(
         lambda p, x, t, c: jnp.sum(
-            wan_dit_apply(p, dit_cfg, x, t, c, attn_impl="auto").astype(jnp.float32)
+            wan_dit_apply(p, dit_cfg, x, t, c, attn_impl="auto",
+                          qk_impl="auto", ew_impl="auto").astype(jnp.float32)
         )
     )
     dit_step_s = _timed(lambda *a: float(fwd(*a)), params, x, t, ctx,

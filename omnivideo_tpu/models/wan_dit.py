@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.base import WanDiTConfig
+from ..ops import tuning
 from ..ops.attention import attention
 from ..ops.fused_adaln import fused_adaln
 from ..ops.norms import layer_norm, rms_norm
@@ -264,9 +265,13 @@ def wan_block_apply(
     (ops/pallas/qk_prep.py) and dispatches through the non-differentiable
     flash_attention_infer — INFERENCE ONLY; training keeps the default
     "xla" chain. "pallas_interpret" runs the same kernels emulated on CPU
-    (CI). Opt-in until the chip A/B (tools/dev/bench_a14b_ab.py) wins."""
+    (CI). "auto" on either impl resolves to the measured winner for this
+    width from the persisted tuning table (ops/tuning.py, rewritten by
+    tools/dev/bench_a14b_ab.py --write-tuned)."""
     B, L, d = x.shape
     N, hd = cfg.num_heads, cfg.head_dim
+    ew_impl = tuning.resolve_impl("ew_impl", ew_impl, d, jax.default_backend())
+    qk_impl = tuning.resolve_impl("qk_impl", qk_impl, d, jax.default_backend())
     pdtype = bp["self_attn"]["q"]["kernel"].dtype
     fuse_qk = (qk_impl in ("pallas", "pallas_interpret") and aux.sp is None
                and cfg.qk_norm and hd % 128 == 0 and N <= 128
@@ -573,6 +578,15 @@ def wan_dit_apply(
     if mesh is not None or sp is not None:
         ew_impl = "xla"
         qk_impl = "xla"  # the fused prologue path is single-device-only
+    else:
+        # "auto" = the measured winner for this model width from the
+        # persisted tuning table (ops/tuning.py; performance-only, value-
+        # parity asserted by the A/B drivers). The table is read once per
+        # process, so identical calls always resolve identically.
+        ew_impl = tuning.resolve_impl("ew_impl", ew_impl, cfg.dim,
+                                      jax.default_backend())
+        qk_impl = tuning.resolve_impl("qk_impl", qk_impl, cfg.dim,
+                                      jax.default_backend())
     aux = WanAuxInputs(
         e0=e0, context=context, rope_cos=cos, rope_sin=sin, kv_lens=kv_lens, sp=sp
     )

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from omnivideo_tpu.ops import tuning
+
 # tuned on v5e at seq≈32k, D=128 (tools/dev/bench_flash.py): 1024/2048 hits
 # 78% MXU with boundary-only masking; s-tile [1024,2048] f32 = 8 MB VMEM
 DEFAULT_BLOCK_Q = 1024
@@ -244,8 +246,6 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         # scalar compare at run time, both kernels compiled once per shape).
         safe = (2.0 * jnp.max(bound_f) + 2.0) < 120.0
 
-    import os
-
     xattn_single = Lk_r > block_k and Lk_r <= 8192
     if xattn_single and static_max:
         # bounded softmax has NO per-step rescale, so multi-step KV costs
@@ -253,16 +253,15 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         # tiles (6272-ctx cross-attn: single-step caps bq at 256 by the
         # [bq, 6272] f32 logits tile; multi-step runs bq=1024 at bk=896;
         # r3's multi-vs-single A/B predates divisor bk and wasted 23% of
-        # the MXU work on kv padding). FLASH_XATTN_MODE env is a SWEEP KNOB
-        # for tools/dev/bench_xattn_sweep.py — the default is the measured
-        # winner (single until the divisor-bk variant wins on chip).
-        mode = os.environ.get("FLASH_XATTN_MODE", "single")
-        xattn_single = mode == "single"
+        # the MXU work on kv padding). The default is the measured winner
+        # from the persisted tuning table (ops/tuning.py, rewritten by the
+        # on-chip A/Bs); FLASH_XATTN_MODE env is the sweep override.
+        xattn_single = tuning.xattn_mode(N, Lk_r) == "single"
     if xattn_single:
         # single step: size bq so the f32 logits tile stays within the VMEM
         # budget (default ~8 MB of the 16 MB core VMEM; FLASH_XATTN_VMEM_MB
-        # env overrides for on-chip sweeps)
-        budget = int(float(os.environ.get("FLASH_XATTN_VMEM_MB", "8")) * 2**20)
+        # env / the tuning table override for on-chip sweeps)
+        budget = int(tuning.xattn_vmem_mb() * 2**20)
         bk = Lk_r
         bq = min(block_q, max(128, budget // (4 * bk) // 128 * 128))
     else:

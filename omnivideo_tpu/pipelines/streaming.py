@@ -51,8 +51,8 @@ from ..models.wan_dit import (
 
 
 @functools.lru_cache(maxsize=8)
-def _block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str = "xla",
-                  ew_impl: str = "xla"):
+def _block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str = "auto",
+                  ew_impl: str = "auto"):
     """One jitted block function per (cfg, attn_impl, qk_impl, ew_impl) —
     shared across executor instances so a benchmark that builds several
     executors over the same config pays the dim-5120 block compile once."""
@@ -82,8 +82,8 @@ class BlockStreamingExecutor:
         host_blocks: Sequence[Any],
         window: int = 2,
         attn_impl: str = "auto",
-        qk_impl: str = "xla",
-        ew_impl: str = "xla",
+        qk_impl: str = "auto",
+        ew_impl: str = "auto",
         device=None,
     ):
         assert window >= 1

@@ -84,8 +84,9 @@ class OmniVideoX2XUnified:
         attn_impl: str = "auto",
         sp=None,  # models.wan_dit.SPConfig for sequence-parallel denoising
         layer_stream: bool = False,
-        qk_impl: str = "xla",  # "pallas": fused norm+rope+bound prologue
-        ew_impl: str = "xla",  # "pallas": fused AdaLN sandwich kernel
+        qk_impl: str = "auto",  # fused norm+rope+bound prologue; "auto" =
+        # measured winner for this width (ops/tuning.py tuned table)
+        ew_impl: str = "auto",  # fused AdaLN sandwich kernel; "auto" as above
     ):
         self.config = config
         self.low_noise = low_noise

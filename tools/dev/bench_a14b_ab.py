@@ -36,6 +36,11 @@ def main():
                 "single:xla:pallas,multi:xla:pallas",
         help="comma list of xattn_mode:ew_impl:qk_impl triples "
              "(qk_impl=pallas = fused norm+rope+bound prologue)")
+    ap.add_argument(
+        "--write-tuned", action="store_true",
+        help="persist the winning combo into ops/tuning.py's table (so "
+             "'auto' callers — bench phases, CLI, pipelines — pick it up) "
+             "when it beats the current default by >1%%")
     args = ap.parse_args()
 
     from omnivideo_tpu.configs import WAN_CONFIGS
@@ -80,7 +85,7 @@ def main():
         label = f"xattn={mode} ew={ew} qk={qk}"
         print(f"{label:36s} {t*1e3:8.1f} ms/block  {mxu:5.1%} MXU",
               flush=True)
-        results.append((mxu, label, t))
+        results.append((mxu, label, t, (mode, ew, qk)))
         jax.clear_caches()
     os.environ.pop("FLASH_XATTN_MODE", None)
 
@@ -88,6 +93,19 @@ def main():
     best = results[0]
     print(f"\nbest: {best[1]}  {best[2]*1e3:.1f} ms  {best[0]:.1%} MXU "
           f"(derived step {cfg.num_layers * best[2] * (2 // batch):.2f} s)")
+
+    if args.write_tuned:
+        from omnivideo_tpu.ops import tuning
+
+        lk_r = (Lc + 127) // 128 * 128
+        written = tuning.persist_winner(
+            {combo: t for _, _, t, combo in results}, d, cfg.num_heads, lk_r,
+            source=f"bench_a14b_ab --tag {args.tag}")
+        for sec, key, val in written:
+            print(f"TUNED_UPDATED {sec}[{key}] = {val}", flush=True)
+        if not written:
+            print("tuned table unchanged (winner == default or within "
+                  "noise margin)", flush=True)
 
 
 if __name__ == "__main__":

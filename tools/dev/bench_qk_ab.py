@@ -24,6 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=3)
     ap.add_argument("--frames", type=int, default=21)
+    ap.add_argument("--write-tuned", action="store_true",
+                    help="persist the winner into ops/tuning.py's table "
+                         "when it beats the current default by >1%")
     args = ap.parse_args()
 
     import omnivideo_tpu.models.wan_dit as wd
@@ -67,6 +70,23 @@ def main():
     best = min(results.items(), key=lambda kv: kv[1][0])
     print(f"\nbest: {best[0]}  {best[1][0]:.3f} s/step "
           f"(values agree across variants)")
+
+    if args.write_tuned:
+        from omnivideo_tpu.ops import tuning
+
+        timings = {}
+        for tag, (dt, _) in results.items():
+            parts = dict(p.split("=") for p in tag.split())
+            timings[(parts["xattn"], "xla", parts["qk"])] = dt
+        lk_r = (cfg.max_context_len + 127) // 128 * 128
+        written = tuning.persist_winner(
+            timings, dit_cfg.dim, dit_cfg.num_heads, lk_r,
+            source="bench_qk_ab (1.3B 480p·81f)")
+        for sec, key, val in written:
+            print(f"TUNED_UPDATED {sec}[{key}] = {val}", flush=True)
+        if not written:
+            print("tuned table unchanged (winner == default or within "
+                  "noise margin)", flush=True)
 
 
 if __name__ == "__main__":

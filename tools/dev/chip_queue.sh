@@ -78,8 +78,8 @@ step() {  # step <n> <timeout> <log> <cmd...>
 #    measurements before anything exploratory runs.
 s_kernel()  { step "$1" 420  kernel_check.log  python tools/dev/tpu_kernel_check.py; }
 s_xcross()  { step "$1" 900  xattn_cross.log   python tools/dev/bench_xattn_sweep.py --cross; }
-s_a14b_ab() { step "$1" 1500 a14b_ab.log       python tools/dev/bench_a14b_ab.py --tag 480p; }
-s_qk_ab()   { step "$1" 1200 qk_ab.log         python tools/dev/bench_qk_ab.py; }
+s_a14b_ab() { step "$1" 1500 a14b_ab.log       python tools/dev/bench_a14b_ab.py --tag 480p --write-tuned; }
+s_qk_ab()   { step "$1" 1200 qk_ab.log         python tools/dev/bench_qk_ab.py --write-tuned; }
 s_split()   { step "$1" 1200 split_a14b.log    python tools/dev/bench_split.py --a14b; }
 s_xself()   { step "$1" 900  xattn_self.log    python tools/dev/bench_xattn_sweep.py --self; }
 s_block()   { step "$1" 700  ph_a14b_block.log python bench.py --phase a14b_block; }
@@ -102,7 +102,13 @@ if [ "${REDUCED:-0}" = "1" ]; then
   s_strain 6;   merge
   s_qk_ab 7
   s_a14b_ab 8
-  s_e2e 9
+  # if an A/B flipped a tuned default (ops/tuning.py table), re-measure the
+  # phases that resolve "auto" so the cache reflects the new winner
+  if grep -q TUNED_UPDATED /tmp/chipq/qk_ab.log /tmp/chipq/a14b_ab.log 2>/dev/null; then
+    s_block 9;    merge
+    s_primary 10; merge
+  fi
+  s_e2e 11
 else
   s_kernel 1; s_xcross 2; s_a14b_ab 3; s_qk_ab 4; s_split 5; s_xself 6
   s_block 7; s_stream 8; s_qwen 9; s_primary 10; s_strain 11; s_e2e 12

@@ -44,11 +44,13 @@ def parse_args():
     p.add_argument("--dp_rank", type=int, default=None)
     p.add_argument("--dp_world_size", type=int, default=None)
     p.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "pallas"])
-    p.add_argument("--qk_impl", default="xla", choices=["xla", "pallas"],
+    p.add_argument("--qk_impl", default="auto", choices=["auto", "xla", "pallas"],
                    help="pallas: fused rms-norm+rope+bound attention prologue "
-                        "(ops/pallas/qk_prep.py; single-device inference)")
-    p.add_argument("--ew_impl", default="xla", choices=["xla", "pallas"],
-                   help="pallas: fused AdaLN sandwich (ops/pallas/adaln.py)")
+                        "(ops/pallas/qk_prep.py; single-device inference); "
+                        "auto: measured winner from ops/tuning.py")
+    p.add_argument("--ew_impl", default="auto", choices=["auto", "xla", "pallas"],
+                   help="pallas: fused AdaLN sandwich (ops/pallas/adaln.py); "
+                        "auto: measured winner from ops/tuning.py")
     p.add_argument("--layer_stream", action="store_true",
                    help="stream DiT blocks host->HBM per step (single-chip "
                         "deployment for experts larger than device memory, "
