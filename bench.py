@@ -54,6 +54,14 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# persistent XLA compile cache: phase subprocesses inherit the env var, so
+# repeated runs of the same phase (and the driver's own bench run after the
+# chip queue warmed the cache) skip the 20-40 s TPU compiles. Inlined (not
+# utils.compile_cache) so the orchestrator process stays jax-free.
+if os.environ.get("OMNIVIDEO_COMPILE_CACHE", "1").lower() not in ("0", "false"):
+    os.makedirs(os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                                      "/tmp/omnivideo_jax_cache"), exist_ok=True)
+
 import numpy as np
 
 CACHE_PATH = Path(__file__).resolve().parent / "BENCH_LOCAL.json"

@@ -24,6 +24,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from omnivideo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()  # reuse TPU compiles across invocations
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="omnivideo_tpu unified x2x generation")
