@@ -162,7 +162,14 @@ def make_optimizer(tc: TrainConfig, params=None):
     tx = (optax.chain(optax.clip_by_global_norm(tc.grad_clip), inner)
           if tc.grad_clip else inner)
     if params is not None and tc.trainable_filters:
-        tx = optax.masked(tx, _trainable_mask(params, tc.trainable_filters))
+        # optax.masked passes masked-OUT updates through UNCHANGED (they are
+        # raw gradients at that point), so a second masked(set_to_zero)
+        # stage is required to actually freeze the complement — without it
+        # apply_updates would ADD the raw gradient to every frozen param.
+        mask = _trainable_mask(params, tc.trainable_filters)
+        inv = jax.tree_util.tree_map(lambda m: not m, mask)
+        tx = optax.chain(optax.masked(tx, mask),
+                         optax.masked(optax.set_to_zero(), inv))
     if tc.grad_accum_steps > 1:
         # accumulator state is sharded like the grads (GSPMD propagates), so
         # the ZeRO-style memory layout survives accumulation

@@ -99,6 +99,25 @@ def test_trainable_mask_freezing():
     assert mask["wan"]["blocks"]["k"] is False
 
 
+def test_trainable_filters_actually_freeze():
+    """Regression: optax.masked passes masked-OUT updates through UNCHANGED
+    (raw gradients), so without the set_to_zero complement stage every
+    frozen param drifted by +grad each step."""
+    import optax
+
+    tc = TrainConfig(learning_rate=1e-2, warmup_steps=0, total_steps=10,
+                     grad_clip=0.0, trainable_filters=("companions",))
+    params = {"wan": jnp.ones(3), "companions": jnp.ones(3)}
+    tx = make_optimizer(tc, params)
+    st = tx.init(params)
+    grads = {"wan": jnp.full(3, 5.0), "companions": jnp.full(3, 5.0)}
+    for _ in range(2):
+        up, st = tx.update(grads, st, params)
+        params = optax.apply_updates(params, up)
+    np.testing.assert_array_equal(np.asarray(params["wan"]), 1.0)
+    assert not np.allclose(np.asarray(params["companions"]), 1.0)
+
+
 def test_checkpoint_save_restore(tmp_path, data_root):
     from omnivideo_tpu.training.checkpoint import CheckpointManager
 
