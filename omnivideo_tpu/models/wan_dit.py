@@ -165,6 +165,10 @@ def _dense(p, x, dtype=None):
         w = w.astype(dtype)
         x = x.astype(dtype)
     y = x @ w
+    if "lora_a" in p:  # LoRA adapter delta (training/lora.py); B=0 at init
+        a = p["lora_a"].astype(x.dtype)
+        b = p["lora_b"].astype(x.dtype)
+        y = y + (((x @ a) @ b) * p["lora_scale"]).astype(y.dtype)
     return y + p["bias"].astype(y.dtype)
 
 

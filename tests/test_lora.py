@@ -1,0 +1,156 @@
+"""LoRA adapter finetuning (training/lora.py).
+
+Role of the reference's PEFT LoRA in its VILA trainer (reference
+previous_version/Omni-Video1/nets/third_party/llava/train/train.py:81-130),
+here over functional pytrees: inject → identical forward (B=0); train →
+only adapters move; merge → identical forward with plain kernels.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnivideo_tpu.configs.base import PipelineConfig, VAEConfig, WanDiTConfig
+from omnivideo_tpu.models.unified import init_unified_companions
+from omnivideo_tpu.models.wan_dit import init_wan_dit, wan_dit_apply
+from omnivideo_tpu.training.dataset import (
+    OmniVideoDataset,
+    PadSpec,
+    collate,
+    make_dummy_dataset,
+)
+from omnivideo_tpu.training.lora import (
+    LORA_FILTERS,
+    apply_lora_state,
+    count_lora_params,
+    extract_lora,
+    inject_lora,
+    merge_lora,
+    strip_lora,
+)
+from omnivideo_tpu.training.trainer import (
+    TrainConfig,
+    init_train_state,
+    make_optimizer,
+    make_unified_train_step,
+)
+
+CFG = PipelineConfig(
+    name="tiny-lora",
+    dit=WanDiTConfig(patch_size=(1, 2, 2), in_dim=16, out_dim=16, dim=64,
+                     ffn_dim=128, freq_dim=32, text_dim=48, num_heads=4,
+                     num_layers=2),
+    vae=VAEConfig(),
+    vlm_in_dim=16,
+    max_context_len=48,
+    param_dtype="float32",
+)
+DIT = CFG.dit.replace(text_len=CFG.max_context_len)
+
+
+def _init_dit(key):
+    """init_wan_dit with a NON-zero head: the real head init is zeros (a
+    from-scratch convention), which would make every output — and every
+    gradient into the body's adapters — identically zero. A finetune starts
+    from a trained checkpoint, which this stands in for."""
+    params = init_wan_dit(jax.random.PRNGKey(key), DIT, dtype=jnp.float32)
+    hk = params["head"]["head"]["kernel"]
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(key + 100), hk.shape, hk.dtype)
+        * 0.02)
+    return params
+
+
+def _dit_forward(params, key=0):
+    k = jax.random.PRNGKey(key)
+    x = jax.random.normal(k, (1, 16, 3, 8, 8), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(key + 1),
+                            (1, CFG.max_context_len, 48), jnp.float32)
+    return wan_dit_apply(params, DIT, x, t, ctx, attn_impl="xla")
+
+
+def test_inject_preserves_forward_and_merge_strip_roundtrip():
+    base = _init_dit(0)
+    y0 = _dit_forward(base)
+    lp = inject_lora(base, jax.random.PRNGKey(1), rank=4)
+    assert count_lora_params(lp) > 0
+    # B = 0 -> bit-identical forward
+    np.testing.assert_array_equal(np.asarray(_dit_forward(lp)), np.asarray(y0))
+    # strip recovers the exact base tree
+    stripped = strip_lora(lp)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        stripped, base)
+    # perturb an adapter, then merged kernels reproduce the adapter forward
+    lp = jax.tree_util.tree_map(lambda x: x, lp)
+
+    def bump(node):
+        if isinstance(node, dict):
+            if "lora_b" in node:
+                node["lora_b"] = node["lora_b"] + 0.02
+            for v in node.values():
+                bump(v)
+
+    bump(lp)
+    y_ad = _dit_forward(lp)
+    assert not np.allclose(np.asarray(y_ad), np.asarray(y0))
+    merged = merge_lora(lp)
+    flat = jax.tree_util.tree_leaves_with_path(merged)
+    assert not any("lora" in "/".join(map(str, p)) for p, _ in flat)
+    np.testing.assert_allclose(np.asarray(_dit_forward(merged)),
+                               np.asarray(y_ad), rtol=2e-5, atol=2e-5)
+    # extract/apply roundtrip grafts the same adapters back
+    state = extract_lora(lp)
+    re = apply_lora_state(strip_lora(lp), state)
+    np.testing.assert_array_equal(np.asarray(_dit_forward(re)),
+                                  np.asarray(y_ad))
+
+
+def test_lora_training_moves_only_adapters(tmp_path):
+    make_dummy_dataset(tmp_path, n=4, text_len=8, vlm_len=6,
+                       latent_shape=(16, 3, 8, 8), text_dim=48, vlm_dim=16)
+    ds = OmniVideoDataset(str(tmp_path))
+    pad = PadSpec(text_len=12, vlm_len=8, latent_frames=3)
+    batch = {k: jnp.asarray(v)
+             for k, v in collate([ds[i] for i in range(4)], pad).items()}
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "wan": inject_lora(_init_dit(0), k3, rank=4),
+        "companions": init_unified_companions(k2, CFG),
+    }
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=20,
+                     cfg_dropout=0.0, grad_clip=1.0, remat=True,
+                     trainable_filters=LORA_FILTERS)
+    tx = make_optimizer(tc, params)
+    state = init_train_state(params, tx)
+    step = jax.jit(make_unified_train_step(CFG, tc, tx, attn_impl="xla"))
+    losses = []
+    for i in range(4):
+        state, m = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+
+    # base weights (and companions) bit-identical; adapters moved
+    def paths_equal(a, b, pred):
+        for (pa, la), (_, lb) in zip(
+                jax.tree_util.tree_leaves_with_path(a),
+                jax.tree_util.tree_leaves_with_path(b)):
+            name = "/".join(str(getattr(p, "key", p)) for p in pa)
+            if pred(name):
+                yield name, np.array_equal(np.asarray(la), np.asarray(lb))
+
+    frozen = dict(paths_equal(params, state.params,
+                              lambda n: "lora_a" not in n and "lora_b" not in n))
+    assert all(frozen.values()), [n for n, ok in frozen.items() if not ok][:5]
+    moved = dict(paths_equal(params, state.params, lambda n: "lora_b" in n))
+    assert moved and not all(moved.values()), "no adapter moved"
+    assert losses[-1] < losses[0] * 1.05  # training is sane (same fixed batch)
+
+
+def test_inject_requires_matching_targets():
+    base = init_wan_dit(jax.random.PRNGKey(0), DIT, dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        inject_lora(base, jax.random.PRNGKey(1), rank=2,
+                    targets=("no/such/site",))

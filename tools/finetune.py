@@ -66,6 +66,19 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--trainable", nargs="*", default=[],
                    help="path substrings to train (empty = all); e.g. wan companions")
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="LoRA adapter rank over the wan DiT projections "
+                        "(0 = full finetune). Trains ONLY the adapters: "
+                        "base weights frozen, optimizer state only for the "
+                        "low-rank factors (training/lora.py)")
+    p.add_argument("--lora_alpha", type=float, default=None,
+                   help="LoRA alpha (scale = alpha/rank; default = rank)")
+    p.add_argument("--lora_targets", nargs="*", default=None,
+                   help="dense-site path substrings to adapt (default: the "
+                        "wan attention + ffn projections)")
+    p.add_argument("--lora_export", default=None,
+                   help="after training, save the LoRA-merged wan params "
+                        "(plain kernels, adapters folded in) to this .npz")
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
@@ -206,6 +219,26 @@ def main():
                                 dtype=jnp.float32),
             "companions": init_unified_companions(k2, cfg),
         }
+    if args.lora_rank > 0:
+        import dataclasses
+
+        from omnivideo_tpu.training.lora import (
+            DEFAULT_TARGETS,
+            LORA_FILTERS,
+            count_lora_params,
+            inject_lora,
+        )
+
+        assert not args.layer_stream, \
+            "--lora_rank trains in-HBM (adapters are small); drop --layer_stream"
+        targets = tuple(args.lora_targets) if args.lora_targets else DEFAULT_TARGETS
+        params["wan"] = inject_lora(
+            params["wan"], jax.random.PRNGKey(args.seed + 7),
+            args.lora_rank, alpha=args.lora_alpha, targets=targets)
+        tc = dataclasses.replace(tc, trainable_filters=LORA_FILTERS)
+        logging.info("LoRA rank %d over %s: %d adapter params trainable",
+                     args.lora_rank, ",".join(targets),
+                     count_lora_params(params["wan"]))
     if mesh is not None:
         sh = params_shardings(params, mesh)
         params = jax.tree_util.tree_map(jax.device_put, params, sh)
@@ -275,6 +308,20 @@ def main():
             ckpt.save(step, state, {"step": step})
             logging.info("saved checkpoint at step %d", step)
 
+    if args.lora_rank > 0 and args.lora_export:
+        import numpy as np
+
+        from omnivideo_tpu.training.lora import merge_lora
+
+        merged = merge_lora(state.params["wan"])
+        flat = {
+            "/".join(str(getattr(p, "key", p)) for p in path): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(merged)
+        }
+        Path(args.lora_export).parent.mkdir(parents=True, exist_ok=True)
+        np.savez(args.lora_export, **flat)
+        logging.info("LoRA-merged wan params exported to %s (%d arrays)",
+                     args.lora_export, len(flat))
     logging.info("done at step %d", step)
 
 
