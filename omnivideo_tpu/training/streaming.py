@@ -190,6 +190,8 @@ class StreamedTrainer:
                                rope_sin=sin, kv_lens=None, sp=None)
             return wan_block_apply(bp, x, aux, cfg, attn_impl=self.attn_impl)
 
+        self._block_fn = block_fn  # subclasses build adapter-aware jits on it
+
         @jax.jit
         def block_fwd(bp, x, e0, ctx, cos, sin):
             return block_fn(bp, x, e0, ctx, cos, sin)
@@ -239,9 +241,17 @@ class StreamedTrainer:
         def acc(a, b):
             return jax.tree_util.tree_map(jnp.add, a, b)
 
+        @jax.jit
+        def post_loss_dh(resident, hf, e, target, weights):
+            # head/resident frozen (LoRA mode): only the stack-top cotangent
+            loss, d_h = jax.value_and_grad(post_loss_fn, argnums=1)(
+                resident, hf, e, target, weights)
+            return loss, d_h
+
         self._jit = dict(prep=prep, pre=pre, pre_grads=pre_grads,
                          block_fwd=block_fwd, block_grads=block_grads,
-                         post_loss_grads=post_loss_grads, sq_norm=sq_norm,
+                         post_loss_grads=post_loss_grads,
+                         post_loss_dh=post_loss_dh, sq_norm=sq_norm,
                          upd=upd, acc=acc)
         del pcfg
 
@@ -348,3 +358,185 @@ class StreamedTrainer:
         metrics = {"loss": loss, "grad_norm": gnorm}
         return StreamedTrainState(resident, resident_opt, new_blocks,
                                   new_opts, state.step + 1), metrics
+
+
+# ---------------------------------------------------------------------------
+# streamed LoRA: frozen base streams, adapters train on device
+# ---------------------------------------------------------------------------
+
+
+class StreamedLoRAState(NamedTuple):
+    """LoRA training state for a larger-than-HBM stack. The frozen base
+    (resident + host block stack) never changes; only the tiny device-
+    resident adapter pytrees and their optimizer state evolve."""
+
+    resident: Any                 # device pytree, FROZEN (embeds/time/head)
+    host_blocks: List[Any]        # per-block host numpy BASE params (no lora)
+    lora: List[Any]               # per-block {path: {lora_a, lora_b}}, device
+    lora_scales: List[Any]        # per-block {path: {lora_scale}}, FROZEN
+    lora_opt: Any                 # one optax state over the whole lora list
+    step: int
+
+
+def _merge_ad(ab, sc):
+    """Rejoin the trainable (A, B) and frozen (scale) adapter halves into
+    the {path: site} form apply_lora_state grafts."""
+    return {p: {**ab[p], **sc[p]} for p in ab}
+
+
+class StreamedLoRATrainer(StreamedTrainer):
+    """LoRA finetuning of DiT stacks whose BASE parameters exceed HBM.
+
+    The combination the reference cannot express on one accelerator: its
+    LoRA lives in the torch/PEFT VILA trainer (reference llava
+    train.py:81-130) and its A14B finetune needs multi-GPU ZeRO
+    (finetune_model.py:725-732). Here the frozen base streams host→HBM
+    exactly like inference (forward, then re-streamed for the vjp-recompute
+    backward), while the adapters — a few MB for the whole 40-block A14B
+    stack — stay resident and train with a fully device-side optimizer.
+
+    Versus the full StreamedTrainer this removes per-block gradient d2h/h2d
+    AND the updated-params d2h (the base never changes): host traffic per
+    step drops from ~6.5 GB/block to 2 param h2d passes (~1.4 GB/block at
+    A14B) plus activation offload. The exact global-norm clip needs no
+    second pass — adapter grads are resident, so all updates apply after
+    pass A with the true global norm.
+
+    Parity contract (tests/test_streamed_training.py): loss and updated
+    adapters match make_train_step over lora-injected params with
+    trainable_filters=LORA_FILTERS on the same rng (lora_scale frozen in
+    both — it is split out of the differentiated pytree here).
+    """
+
+    def __init__(self, cfg: PipelineConfig, tc: TrainConfig,
+                 attn_impl: str = "auto", act_offload: bool = True,
+                 device=None):
+        import dataclasses
+
+        # the base-class assert rejects trainable_filters; in LoRA mode the
+        # trainable set is the adapters by construction
+        super().__init__(cfg, dataclasses.replace(tc, trainable_filters=()),
+                         attn_impl=attn_impl, act_offload=act_offload,
+                         device=device)
+        from .lora import apply_lora_state
+
+        block_fn = self._block_fn
+
+        @jax.jit
+        def lora_block_fwd(base, ab, sc, x, e0, ctx, cos, sin):
+            bp = apply_lora_state(base, _merge_ad(ab, sc))
+            return block_fn(bp, x, e0, ctx, cos, sin)
+
+        @jax.jit
+        def lora_block_grads(base, ab, sc, x, e0, ctx, cos, sin, ct):
+            # vjp recomputes the merged-block forward (remat by construction)
+            # and pulls back ONLY into (A, B) and the chained input
+            _, pull = jax.vjp(
+                lambda a, xx: block_fn(apply_lora_state(base, _merge_ad(a, sc)),
+                                       xx, e0, ctx, cos, sin), ab, x)
+            return pull(ct)
+
+        self._jit["lora_block_fwd"] = lora_block_fwd
+        self._jit["lora_block_grads"] = lora_block_grads
+
+    # ------------------------------------------------------------------
+    def init_state(self, params) -> StreamedLoRAState:
+        """params: full wan pytree WITH adapters already injected
+        (training/lora.py::inject_lora on the stacked blocks)."""
+        from .lora import extract_lora, strip_lora
+
+        resident = {k: jax.device_put(v, self.device)
+                    for k, v in params.items() if k != "blocks"}
+        stacked = _to_host(params["blocks"])
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        blocks = [jax.tree_util.tree_map(lambda a: a[i], stacked)
+                  for i in range(n)]
+        full = [extract_lora(b) for b in blocks]
+        assert jax.tree_util.tree_leaves(full), \
+            "no adapters found — inject_lora the blocks first"
+        lora = [self._put({p: {k: site[k] for k in ("lora_a", "lora_b")}
+                           for p, site in f.items()}) for f in full]
+        scales = [self._put({p: {"lora_scale": site["lora_scale"]}
+                             for p, site in f.items()}) for f in full]
+        host_blocks = [strip_lora(b) for b in blocks]
+        lora_opt = self.inner.init(lora)
+        return StreamedLoRAState(resident, host_blocks, lora, scales,
+                                 lora_opt, 0)
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: StreamedLoRAState, batch, rng):
+        """One exact flow-matching LoRA step. Returns (state', metrics)."""
+        J = self._jit
+        n = len(state.host_blocks)
+        batch = self._put(batch)
+
+        noisy, t, context, target, weights = J["prep"](batch, rng)
+        h, e, e0, ctx = J["pre"](state.resident, noisy, t, context)
+        cos, sin = rope_3d_tables(self._grid(noisy.shape),
+                                  self.dit_cfg.head_dim,
+                                  self.dit_cfg.rope_max_seq_len,
+                                  self.dit_cfg.rope_theta)
+        cos, sin = self._put((cos, sin))
+
+        # ---- forward: stream frozen base, adapters already resident ----
+        acts: List[Any] = []
+        slot = self._put(state.host_blocks[0])
+        for i in range(n):
+            nxt = self._put(state.host_blocks[i + 1]) if i + 1 < n else None
+            acts.append(_to_host(h) if self.act_offload else h)
+            h = J["lora_block_fwd"](slot, state.lora[i], state.lora_scales[i],
+                                    h, e0, ctx, cos, sin)
+            slot = nxt
+
+        loss, d_h = J["post_loss_dh"](state.resident, h, e, target, weights)
+
+        # ---- backward: re-stream base, adapter grads stay resident ----
+        grads: List[Any] = [None] * n
+        total_sq = jnp.zeros((), jnp.float32)
+        slot = self._put(state.host_blocks[n - 1])
+        for i in range(n - 1, -1, -1):
+            nxt = self._put(state.host_blocks[i - 1]) if i > 0 else None
+            x_i = self._put(acts[i]) if self.act_offload else acts[i]
+            d_ab, d_h = J["lora_block_grads"](
+                slot, state.lora[i], state.lora_scales[i], x_i,
+                e0, ctx, cos, sin, d_h)
+            grads[i] = d_ab
+            total_sq = total_sq + J["sq_norm"](d_ab)
+            acts[i] = None
+            slot = nxt
+
+        # ---- update: adapters are tiny and resident — one exact-clip pass
+        gnorm = jnp.sqrt(total_sq)
+        if self.tc.grad_clip:
+            clip = jnp.float32(self.tc.grad_clip)
+            scale = clip / jnp.maximum(gnorm, clip)
+        else:
+            scale = jnp.float32(1.0)
+        lora, lora_opt = J["upd"](state.lora, grads, state.lora_opt, scale)
+
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        return StreamedLoRAState(state.resident, state.host_blocks, lora,
+                                 state.lora_scales, lora_opt,
+                                 state.step + 1), metrics
+
+    # ------------------------------------------------------------------
+    def export_params(self, state: StreamedLoRAState):
+        """Reassemble the full wan pytree (stacked blocks WITH adapters) —
+        for merge_lora / checkpoint export."""
+        merged = [
+            jax.tree_util.tree_map(np.asarray,
+                                   _graft(state.host_blocks[i],
+                                          _merge_ad(_to_host(state.lora[i]),
+                                                    _to_host(state.lora_scales[i]))))
+            for i in range(len(state.host_blocks))
+        ]
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *merged)
+        params = dict(state.resident)
+        params["blocks"] = stacked
+        return params
+
+
+def _graft(base, lora_state):
+    from .lora import apply_lora_state
+
+    return apply_lora_state(base, lora_state)

@@ -176,3 +176,67 @@ def test_streamed_fused_update_no_clip_matches():
     _assert_tree_close(s1.resident,
                        {k: v for k, v in ref_p.items() if k != "blocks"},
                        rtol=2e-4, atol=1e-7)
+
+
+def test_streamed_lora_matches_monolithic_lora():
+    """StreamedLoRATrainer == make_train_step over lora-injected params with
+    trainable_filters=LORA_FILTERS: same loss, same updated adapters, base
+    untouched. (grad_norm is NOT compared: the monolithic metric reports the
+    norm over ALL grads while the clip itself — like the streamed trainer —
+    uses the trainable-only norm.)"""
+    from omnivideo_tpu.training.lora import (
+        LORA_FILTERS,
+        extract_lora,
+        inject_lora,
+        strip_lora,
+    )
+    from omnivideo_tpu.training.streaming import StreamedLoRATrainer
+
+    tc = TrainConfig(cfg_dropout=0.0, remat=True, warmup_steps=1,
+                     total_steps=10, learning_rate=1e-3, grad_clip=0.1,
+                     optimizer="adamw", trainable_filters=LORA_FILTERS)
+    params = init_wan_dit(jax.random.PRNGKey(0), CFG.dit, dtype=jnp.float32)
+    # de-zero the head: the zero init would zero every adapter gradient
+    hk = params["head"]["head"]["kernel"]
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(9), hk.shape, hk.dtype) * 0.02)
+    params = inject_lora(params, jax.random.PRNGKey(7), rank=4)
+    batch = _batch()
+
+    tx = make_optimizer(tc, params)
+    ref_state = init_train_state(params, tx)
+    step = make_train_step(CFG, tc, tx, attn_impl="xla")
+    st = StreamedLoRATrainer(CFG, tc, attn_impl="xla", act_offload=True)
+    s = st.init_state(params)
+    for k in range(2):
+        rng = jax.random.PRNGKey(100 + k)
+        ref_state, ref_m = step(ref_state, batch, rng)
+        s, m = st.train_step(s, batch, rng)
+        np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                                   rtol=1e-5)
+
+    # adapters track the monolithic ones; base blocks bit-identical frozen
+    ref_blocks = ref_state.params["blocks"]
+    base_blocks = params["blocks"]
+    for i in range(CFG.dit.num_layers):
+        ref_blk = jax.tree_util.tree_map(lambda a: a[i], ref_blocks)
+        ref_ad = extract_lora(ref_blk)
+        for path, site in ref_ad.items():
+            for kname in ("lora_a", "lora_b"):
+                np.testing.assert_allclose(
+                    np.asarray(s.lora[i][path][kname]),
+                    np.asarray(site[kname]), rtol=2e-4, atol=1e-7,
+                    err_msg=f"block {i} {path}/{kname}")
+        base_blk = strip_lora(
+            jax.tree_util.tree_map(lambda a: a[i], base_blocks))
+        for (pa, la), (_, lb) in zip(
+                jax.tree_util.tree_leaves_with_path(s.host_blocks[i]),
+                jax.tree_util.tree_leaves_with_path(base_blk)):
+            name = "/".join(str(getattr(p, "key", p)) for p in pa)
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=name)
+
+    # export reassembles a full pytree usable by merge_lora
+    full = st.export_params(s)
+    assert "blocks" in full and full["blocks"]["self_attn"]["q"][
+        "lora_a"].shape[0] == CFG.dit.num_layers

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="grad_clip=0 fused-update mode (no grad host "
                          "roundtrip, no pass B — ~2x less h2d traffic)")
+    ap.add_argument("--lora", type=int, default=0, metavar="RANK",
+                    help="streamed LoRA mode: frozen base streams, rank-R "
+                         "adapters train device-resident (no grad/param "
+                         "host roundtrips at all — training/streaming.py::"
+                         "StreamedLoRATrainer)")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +51,12 @@ def main():
     from omnivideo_tpu.configs import WAN_CONFIGS
     from omnivideo_tpu.models.wan_dit import init_wan_block, init_wan_dit
     from omnivideo_tpu.training.streaming import (
-        StreamedTrainer, StreamedTrainState, _to_host)
+        StreamedLoRAState,
+        StreamedLoRATrainer,
+        StreamedTrainer,
+        StreamedTrainState,
+        _to_host,
+    )
     from omnivideo_tpu.training.trainer import TrainConfig
 
     cfg = WAN_CONFIGS[args.task]
@@ -85,18 +95,47 @@ def main():
     print(f"# host stack built: {nl} x {blk_gb:.2f} GB "
           f"in {time.time() - t0:.0f}s", flush=True)
 
-    trainer = StreamedTrainer(cfg, tc, attn_impl="auto", act_offload=True)
     resident = init_wan_dit(jax.random.PRNGKey(1), dit, jnp.bfloat16,
                             with_blocks=False)
-    opt0 = _to_host(trainer.inner.init(block0))
-    state = StreamedTrainState(
-        resident=jax.device_put(resident),
-        resident_opt=trainer.inner.init(jax.device_put(resident)),
-        host_blocks=host_blocks,
-        host_block_opts=[jax.tree_util.tree_map(np.copy, opt0)
-                         for _ in range(nl)],
-        step=0,
-    )
+    if args.lora:
+        from omnivideo_tpu.training.lora import extract_lora, inject_lora
+
+        # the stock head init is zeros (fresh-model convention) which would
+        # zero every adapter gradient; a finetune starts from a trained
+        # checkpoint, so stand in with a random head
+        hk = resident["head"]["head"]["kernel"]
+        resident["head"]["head"]["kernel"] = (
+            jax.random.normal(jax.random.PRNGKey(6), hk.shape, hk.dtype)
+            * 0.02)
+        trainer = StreamedLoRATrainer(cfg, tc, attn_impl="auto",
+                                      act_offload=True)
+        # adapters for one block, replicated per layer (device-resident; a
+        # rank-16 A14B adapter set is ~25 MB total — trivially HBM-resident)
+        ad = extract_lora(inject_lora(block0, jax.random.PRNGKey(5),
+                                      rank=args.lora))
+        lora = [trainer._put({p: {k: site[k] for k in ("lora_a", "lora_b")}
+                              for p, site in ad.items()}) for _ in range(nl)]
+        scales = [trainer._put({p: {"lora_scale": site["lora_scale"]}
+                                for p, site in ad.items()})] * nl
+        state = StreamedLoRAState(
+            resident=jax.device_put(resident),
+            host_blocks=host_blocks,
+            lora=lora,
+            lora_scales=scales,
+            lora_opt=trainer.inner.init(lora),
+            step=0,
+        )
+    else:
+        trainer = StreamedTrainer(cfg, tc, attn_impl="auto", act_offload=True)
+        opt0 = _to_host(trainer.inner.init(block0))
+        state = StreamedTrainState(
+            resident=jax.device_put(resident),
+            resident_opt=trainer.inner.init(jax.device_put(resident)),
+            host_blocks=host_blocks,
+            host_block_opts=[jax.tree_util.tree_map(np.copy, opt0)
+                             for _ in range(nl)],
+            step=0,
+        )
     batch = {
         "latents": np.random.default_rng(1).standard_normal(
             (1, dit.in_dim, F, H, W), dtype=np.float32),
@@ -104,7 +143,7 @@ def main():
             (1, cfg.max_context_len, dit.text_dim)) * 0.02
             ).astype(np.float32),
     }
-    sfx = "_fused" if args.fused else ""
+    sfx = "_lora" if args.lora else ("_fused" if args.fused else "")
     out = {"a14b_train_stream_seq": seq,
            "a14b_train_stream_block_gb": round(blk_gb, 2)}
 

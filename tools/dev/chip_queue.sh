@@ -91,9 +91,10 @@ s_stream()  { step "$1" 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 B
 s_qwen()    { step "$1" 900  qwen_layer.log    python tools/dev/tpu_qwen_layer_bench.py; }
 s_primary() { step "$1" 1500 ph_primary.log    python bench.py --phase primary; }
 s_strain()  { step "$1" 1200 stream_train.log  python tools/dev/bench_stream_train.py; }
+s_slora()   { step "$1" 900  stream_lora.log   python tools/dev/bench_stream_train.py --lora 16; }
 # flagship artifact: REAL A14B 480p 81-frame video on one 16 GB chip
 s_e2e()     { step "$1" 1500 a14b_e2e.log      python tools/generate.py --task t2v-A14B --size 832*480 --frame_num 81 --sample_steps 4 --input samples/t2v_example.jsonl --output_dir /tmp/a14b_e2e --random_weights --layer_stream --vae_dtype bfloat16; }
-merge() { python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/qwen_layer.log /tmp/chipq/stream_train.log; }
+merge() { python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/qwen_layer.log /tmp/chipq/stream_train.log /tmp/chipq/stream_lora.log; }
 
 if [ "${REDUCED:-0}" = "1" ]; then
   # decisive first; merge after EVERY phase so a mid-queue wedge still
@@ -104,18 +105,20 @@ if [ "${REDUCED:-0}" = "1" ]; then
   s_stream 4;   merge
   s_qwen 5;     merge
   s_strain 6;   merge
-  s_qk_ab 7
-  s_a14b_ab 8
+  s_slora 7;    merge
+  s_qk_ab 8
+  s_a14b_ab 9
   # if an A/B flipped a tuned default (ops/tuning.py table), re-measure the
   # phases that resolve "auto" so the cache reflects the new winner
   if grep -q TUNED_UPDATED /tmp/chipq/qk_ab.log /tmp/chipq/a14b_ab.log 2>/dev/null; then
-    s_block 9;    merge
-    s_primary 10; merge
+    s_block 10;   merge
+    s_primary 11; merge
   fi
-  s_e2e 11
+  s_e2e 12
 else
   s_kernel 1; s_xcross 2; s_a14b_ab 3; s_qk_ab 4; s_split 5; s_xself 6
-  s_block 7; s_stream 8; s_qwen 9; s_primary 10; s_strain 11; s_e2e 12
+  s_block 7; s_stream 8; s_qwen 9; s_primary 10; s_strain 11; s_slora 12
+  s_e2e 13
   merge
 fi
 echo "queue complete; merged phase logs into BENCH_LOCAL.json"

@@ -229,8 +229,6 @@ def main():
             inject_lora,
         )
 
-        assert not args.layer_stream, \
-            "--lora_rank trains in-HBM (adapters are small); drop --layer_stream"
         targets = tuple(args.lora_targets) if args.lora_targets else DEFAULT_TARGETS
         params["wan"] = inject_lora(
             params["wan"], jax.random.PRNGKey(args.seed + 7),
@@ -253,9 +251,16 @@ def main():
         # reference does with multi-GPU ZeRO, finetune_model.py:725-732)
         assert mesh is None, "--layer_stream is the single-device path"
         assert len(tasks) == 1, "--layer_stream: one dataset (plain t2v loss)"
-        from omnivideo_tpu.training.streaming import StreamedTrainer
+        if args.lora_rank > 0:
+            # frozen base streams host->HBM; adapters train device-resident
+            # (A14B LoRA finetune on one 16 GB chip)
+            from omnivideo_tpu.training.streaming import StreamedLoRATrainer
 
-        streamer = StreamedTrainer(cfg, tc, attn_impl=attn_impl)
+            streamer = StreamedLoRATrainer(cfg, tc, attn_impl=attn_impl)
+        else:
+            from omnivideo_tpu.training.streaming import StreamedTrainer
+
+            streamer = StreamedTrainer(cfg, tc, attn_impl=attn_impl)
         state = streamer.init_state(params["wan"])
         train_step = streamer.train_step
     else:
@@ -313,7 +318,9 @@ def main():
 
         from omnivideo_tpu.training.lora import merge_lora
 
-        merged = merge_lora(state.params["wan"])
+        wan = (streamer.export_params(state) if args.layer_stream
+               else state.params["wan"])
+        merged = merge_lora(wan)
         flat = {
             "/".join(str(getattr(p, "key", p)) for p in path): np.asarray(leaf)
             for path, leaf in jax.tree_util.tree_leaves_with_path(merged)
