@@ -65,9 +65,21 @@ def _rope(x, pos, theta):
     ).astype(x.dtype)
 
 
+def _lin(p, name, x):
+    """Bare-kernel matmul with optional LoRA sibling keys
+    ``{name}_lora_a/_lora_b/_lora_scale`` (training/lora.py::
+    inject_lora_bare); the delta x@A@B*scale is zero until trained."""
+    y = x @ p[name]
+    a = p.get(name + "_lora_a")
+    if a is not None:
+        y = y + (((x @ a) @ p[name + "_lora_b"])
+                 * p[name + "_lora_scale"]).astype(y.dtype)
+    return y
+
+
 def _mlp(p, x):
-    g = jax.nn.silu(x @ p["gate"])
-    return (g * (x @ p["up"])) @ p["down"]
+    g = jax.nn.silu(_lin(p, "gate", x))
+    return _lin(p, "down", g * _lin(p, "up", x))
 
 
 def _router(p, xt, cfg: Qwen3TextConfig):
@@ -153,9 +165,9 @@ def _attention(lp, x, pos, cfg, mask_bias, cache_kv=None):
     """Returns (out, (k_new, v_new)) — k/v for this call's tokens only."""
     B, L, D = x.shape
     N, K, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = (x @ lp["q"]).reshape(B, L, N, hd)
-    k = (x @ lp["k"]).reshape(B, L, K, hd)
-    v = (x @ lp["v"]).reshape(B, L, K, hd)
+    q = _lin(lp, "q", x).reshape(B, L, N, hd)
+    k = _lin(lp, "k", x).reshape(B, L, K, hd)
+    v = _lin(lp, "v", x).reshape(B, L, K, hd)
     q = _rms(q, lp["q_norm"], cfg.rms_norm_eps)
     k = _rms(k, lp["k_norm"], cfg.rms_norm_eps)
     q = _rope(q, pos, cfg.rope_theta)
@@ -175,7 +187,7 @@ def _attention(lp, x, pos, cfg, mask_bias, cache_kv=None):
     logits = logits + mask_bias
     probs = jax.nn.softmax(logits, axis=-1).astype(v_r.dtype)
     o = jnp.einsum("bnij,bjnd->bind", probs, v_r, preferred_element_type=jnp.float32)
-    o = o.astype(x.dtype).reshape(B, L, N * hd) @ lp["o"]
+    o = _lin(lp, "o", o.astype(x.dtype).reshape(B, L, N * hd))
     return o, (k, v)
 
 
@@ -284,9 +296,9 @@ def qwen3_greedy_decode(
     def _layer_cached(lp, x, pos, cfg_, bias, kc_i, vc_i, length):
         xn = _rms(x, lp["ln1"], cfg_.rms_norm_eps)
         B_, L_, D_ = xn.shape
-        q = (xn @ lp["attn"]["q"]).reshape(B_, L_, N, hd)
-        k = (xn @ lp["attn"]["k"]).reshape(B_, L_, K, hd)
-        v = (xn @ lp["attn"]["v"]).reshape(B_, L_, K, hd)
+        q = _lin(lp["attn"], "q", xn).reshape(B_, L_, N, hd)
+        k = _lin(lp["attn"], "k", xn).reshape(B_, L_, K, hd)
+        v = _lin(lp["attn"], "v", xn).reshape(B_, L_, K, hd)
         q = _rms(q, lp["attn"]["q_norm"], cfg_.rms_norm_eps)
         k = _rms(k, lp["attn"]["k_norm"], cfg_.rms_norm_eps)
         q = _rope(q, pos, cfg_.rope_theta)
@@ -302,7 +314,7 @@ def qwen3_greedy_decode(
         logits = logits + bias
         probs = jax.nn.softmax(logits, axis=-1).astype(v_r.dtype)
         o = jnp.einsum("bnij,bjnd->bind", probs, v_r, preferred_element_type=jnp.float32)
-        o = o.astype(x.dtype).reshape(B_, L_, N * hd) @ lp["attn"]["o"]
+        o = _lin(lp["attn"], "o", o.astype(x.dtype).reshape(B_, L_, N * hd))
         h = x + o
         hn = _rms(h, lp["ln2"], cfg_.rms_norm_eps)
         if "experts" in lp["mlp"]:
@@ -447,9 +459,9 @@ def qwen3_forward_sp(
         def body(xx, lp):
             hn = _rms(xx, lp["ln1"], cfg.rms_norm_eps)
             ap = lp["attn"]
-            q = (hn @ ap["q"]).reshape(B, Ll, N, hd)
-            k = (hn @ ap["k"]).reshape(B, Ll, K, hd)
-            v = (hn @ ap["v"]).reshape(B, Ll, K, hd)
+            q = _lin(ap, "q", hn).reshape(B, Ll, N, hd)
+            k = _lin(ap, "k", hn).reshape(B, Ll, K, hd)
+            v = _lin(ap, "v", hn).reshape(B, Ll, K, hd)
             q = _rms(q, ap["q_norm"], cfg.rms_norm_eps)
             k = _rms(k, ap["k_norm"], cfg.rms_norm_eps)
             q = _rope(q, pos, cfg.rope_theta)
@@ -464,7 +476,7 @@ def qwen3_forward_sp(
             o = ring_attention_local(q, k, v, axis=seq_axis, causal="token")
             if ulysses_axis:
                 o = _a2a_gather_heads(o, ulysses_axis)
-            xx = xx + o.reshape(B, Ll, N * hd) @ ap["o"]
+            xx = xx + _lin(ap, "o", o.reshape(B, Ll, N * hd))
             hn2 = _rms(xx, lp["ln2"], cfg.rms_norm_eps)
             if "experts" in lp["mlp"]:
                 xx = xx + _moe(lp["mlp"], hn2, cfg)

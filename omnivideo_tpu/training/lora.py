@@ -23,9 +23,14 @@ functional-pytree world instead of module surgery:
 - ``merge_lora`` folds ``W + scale * A @ B`` back into the kernels for
   deployment (handles scan-stacked [L, d_in, d_out] leaves).
 
-Currently adapted models: every ``{"kernel", "bias"}`` dense site (the wan
-DiT's q/k/v/o/ffn projections and companions). The Qwen3-VL text stack
-uses bare-tensor matmuls and is not yet adapted (LLM LoRA — future work).
+Two adapter layouts are supported:
+
+- dense-site dicts ``{"kernel": W, "bias": b}`` (the wan DiT and
+  companions) — ``inject_lora``; applied by wan_dit._dense;
+- bare sibling keys ``{"q": W, "q_lora_a": A, ...}`` for models whose
+  params are raw tensors keyed by name (the Qwen3 text stack — the
+  reference's actual LoRA target) — ``inject_lora_bare``; applied by
+  qwen3vl.text_model._lin in the full/cached/SP forwards.
 """
 from __future__ import annotations
 
@@ -47,6 +52,11 @@ DEFAULT_TARGETS: Tuple[str, ...] = (
 LORA_FILTERS: Tuple[str, ...] = ("lora_a", "lora_b")
 
 _LORA_KEYS = ("lora_a", "lora_b", "lora_scale")
+_LORA_SUFFIXES = ("_lora_a", "_lora_b", "_lora_scale")
+
+
+def _is_lora_key(k: str) -> bool:
+    return k in _LORA_KEYS or k.endswith(_LORA_SUFFIXES)
 
 
 def _path_str(path) -> str:
@@ -115,21 +125,29 @@ def lora_delta(site, x):
     return ((x @ a) @ b) * site["lora_scale"].astype(x.dtype)
 
 
+def _fold(w, a, b, scale):
+    delta = jnp.einsum("...ir,...ro->...io", a, b) * scale[..., None, None]
+    return (w.astype(jnp.float32) + delta.astype(jnp.float32)).astype(w.dtype)
+
+
 def merge_lora(params):
     """Fold every adapter into its kernel (W += scale * A @ B) and strip the
     lora keys — the deployment export. Handles stacked leaves via einsum
-    over the trailing two axes."""
+    over the trailing two axes, and both adapter layouts: dense-site dicts
+    ({"kernel", "lora_a", ...}) and bare sibling keys ("q", "q_lora_a", ...)."""
     def walk(node):
         if isinstance(node, dict):
+            node = dict(node)
             if "lora_a" in node:
-                node = dict(node)
-                w = node.pop("kernel")
-                a, b = node.pop("lora_a"), node.pop("lora_b")
-                scale = node.pop("lora_scale")[..., None, None]
-                delta = jnp.einsum("...ir,...ro->...io", a, b) * scale
-                node["kernel"] = (w.astype(jnp.float32)
-                                  + delta.astype(jnp.float32)).astype(w.dtype)
+                node["kernel"] = _fold(node.pop("kernel"), node.pop("lora_a"),
+                                       node.pop("lora_b"),
+                                       node.pop("lora_scale"))
                 return node
+            for nm in [k[: -len("_lora_a")] for k in list(node)
+                       if k.endswith("_lora_a")]:
+                node[nm] = _fold(node[nm], node.pop(nm + "_lora_a"),
+                                 node.pop(nm + "_lora_b"),
+                                 node.pop(nm + "_lora_scale"))
             return {k: walk(v) for k, v in node.items()}
         return node
 
@@ -140,7 +158,8 @@ def strip_lora(params):
     """Remove adapters WITHOUT merging (recover the exact base params)."""
     def walk(node):
         if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items() if k not in _LORA_KEYS}
+            return {k: walk(v) for k, v in node.items()
+                    if not _is_lora_key(k)}
         return node
 
     return walk(params)
@@ -153,9 +172,9 @@ def extract_lora(params):
 
     def walk(node, path):
         if isinstance(node, dict):
-            if "lora_a" in node:
-                out[path] = {k: node[k] for k in _LORA_KEYS}
-                return
+            keys = [k for k in node if _is_lora_key(k)]
+            if keys:
+                out[path] = {k: node[k] for k in keys}
             for name, child in node.items():
                 walk(child, f"{path}/{name}" if path else name)
 
@@ -172,7 +191,6 @@ def apply_lora_state(params, lora_state):
         if isinstance(node, dict):
             if path in lora_state:
                 node.update(lora_state[path])
-                return
             for name, child in node.items():
                 walk(child, f"{path}/{name}" if path else name)
 
@@ -180,6 +198,78 @@ def apply_lora_state(params, lora_state):
     return params
 
 
+# LLM (bare-tensor) attention + dense-MLP projections; MoE expert banks and
+# routers are deliberately NOT adapted (PEFT practice, and the router must
+# stay stable under finetuning)
+DEFAULT_BARE_NAMES: Tuple[str, ...] = ("q", "k", "v", "o",
+                                       "gate", "up", "down")
+
+
+def inject_lora_bare(params, key, rank: int, alpha: float | None = None,
+                     names: Iterable[str] = DEFAULT_BARE_NAMES,
+                     dtype=jnp.float32):
+    """``inject_lora`` for bare-tensor params: any dict entry ``name: W``
+    (W.ndim >= 2) with ``name`` in ``names`` gains ``{name}_lora_a/_lora_b/
+    _lora_scale`` sibling keys, consumed by qwen3vl.text_model._lin.
+    Dicts named "experts" are skipped (grouped MoE banks). Stacked
+    [L, d_in, d_out] tensors get stacked adapters (scan slices them)."""
+    assert rank >= 1
+    names = tuple(names)
+    scale_val = (alpha if alpha is not None else float(rank)) / rank
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    sites = []
+
+    def collect(node, path):
+        if isinstance(node, dict):
+            for nm, child in list(node.items()):
+                if isinstance(child, dict):
+                    if nm != "experts":
+                        collect(child, f"{path}/{nm}")
+                elif (nm in names and hasattr(child, "ndim")
+                      and child.ndim >= 2 and not _is_lora_key(nm)):
+                    # "gate" is also the MoE ROUTER's name: at a MoE layer
+                    # mlp["gate"] is the router [D, E] and sits beside
+                    # "experts" — skip it there
+                    if nm == "gate" and "experts" in node:
+                        continue
+                    sites.append((node, nm))
+
+    collect(out, "")
+    if not sites:
+        raise ValueError(f"no bare sites matched names {names}")
+    keys = jax.random.split(key, len(sites))
+    for (node, nm), k in zip(sites, keys):
+        w = node[nm]
+        *lead, d_in, d_out = w.shape
+        node[nm + "_lora_a"] = (jax.random.normal(k, (*lead, d_in, rank),
+                                                  dtype)
+                                / jnp.sqrt(jnp.asarray(d_in, dtype)))
+        node[nm + "_lora_b"] = jnp.zeros((*lead, rank, d_out), dtype)
+        node[nm + "_lora_scale"] = jnp.full(tuple(lead), scale_val,
+                                            jnp.float32)
+    return out
+
+
+def lora_masked(tx, params, extra_filters: Iterable[str] = ()):
+    """Wrap ANY optax transformation so it trains only the adapters (plus
+    any path matching ``extra_filters``): the complement's updates are
+    zeroed (optax.masked alone passes masked-out updates through as raw
+    gradients). Use for trainers that build their own optimizer
+    (e.g. training/sft.py::make_sft_optimizer)."""
+    import optax
+
+    filters = tuple(LORA_FILTERS) + tuple(extra_filters)
+
+    def f(path, _):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        return any(s in name for s in filters)
+
+    mask = jax.tree_util.tree_map_with_path(f, params)
+    inv = jax.tree_util.tree_map(lambda m: not m, mask)
+    return optax.chain(optax.masked(tx, mask),
+                       optax.masked(optax.set_to_zero(), inv))
+
+
 def count_lora_params(params) -> int:
     return sum(int(v.size) for site in extract_lora(params).values()
-               for k, v in site.items() if k != "lora_scale")
+               for k, v in site.items() if not k.endswith("scale"))

@@ -154,3 +154,139 @@ def test_inject_requires_matching_targets():
     with pytest.raises(ValueError):
         inject_lora(base, jax.random.PRNGKey(1), rank=2,
                     targets=("no/such/site",))
+
+
+# ---------------------------------------------------------------------------
+# bare-tensor scheme (Qwen3 LLM — the reference's actual LoRA target)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_qwen3():
+    from omnivideo_tpu.models.qwen3vl.text_model import Qwen3TextConfig
+
+    cfg = Qwen3TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16)
+    ks = jax.random.split(jax.random.PRNGKey(0), 24)
+    D, V, hd = cfg.hidden_size, cfg.vocab_size, cfg.head_dim
+
+    def lin(k, i, o):
+        return jax.random.normal(k, (i, o)) * 0.05
+
+    def layer(i):
+        return {
+            "attn": {
+                "q": lin(ks[i], D, 2 * hd), "k": lin(ks[i + 1], D, hd),
+                "v": lin(ks[i + 2], D, hd), "o": lin(ks[i + 3], 2 * hd, D),
+                "q_norm": jnp.ones((hd,)), "k_norm": jnp.ones((hd,)),
+            },
+            "ln1": jnp.ones((D,)), "ln2": jnp.ones((D,)),
+            "mlp": {"gate": lin(ks[i + 4], D, 64), "up": lin(ks[i + 5], D, 64),
+                    "down": lin(ks[i + 6], 64, D)},
+        }
+
+    layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    layer(0), layer(7))
+    params = {
+        "embed": jax.random.normal(ks[14], (V, D)) * 0.05,
+        "layers": layers,
+        "norm": jnp.ones((D,)),
+        "lm_head": jax.random.normal(ks[15], (D, V)) * 0.05,
+    }
+    return cfg, params
+
+
+def test_bare_lora_qwen3_forward_decode_and_merge():
+    from omnivideo_tpu.models.qwen3vl.text_model import (
+        qwen3_forward,
+        qwen3_greedy_decode,
+    )
+    from omnivideo_tpu.training.lora import (
+        count_lora_params,
+        inject_lora_bare,
+        merge_lora,
+        strip_lora,
+    )
+
+    cfg, base = _tiny_qwen3()
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0, cfg.vocab_size)
+    _, logits0 = qwen3_forward(base, cfg, ids)
+
+    lp = inject_lora_bare(base, jax.random.PRNGKey(1), rank=4)
+    assert count_lora_params(lp) > 0
+    # q_norm/k_norm (2-D when stacked) must NOT be adapted; router-less
+    # names only
+    flat = ["/".join(str(getattr(p, "key", p)) for p in path)
+            for path, _ in jax.tree_util.tree_leaves_with_path(lp)]
+    assert not any("q_norm_lora" in n or "k_norm_lora" in n for n in flat)
+    # B = 0 -> identical forward AND identical greedy decode (cached path)
+    _, logits1 = qwen3_forward(lp, cfg, ids)
+    np.testing.assert_array_equal(np.asarray(logits1), np.asarray(logits0))
+    toks0 = qwen3_greedy_decode(base, cfg, ids[:1, :6], 4)
+    toks1 = qwen3_greedy_decode(lp, cfg, ids[:1, :6], 4)
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks0))
+
+    # strip recovers base exactly
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        strip_lora(lp), base)
+
+    # perturb B, merged kernels reproduce the adapter forward
+    def bump(node):
+        if isinstance(node, dict):
+            for k in list(node):
+                if k.endswith("_lora_b"):
+                    node[k] = node[k] + 0.02
+                else:
+                    bump(node[k])
+
+    bump(lp)
+    _, logits_ad = qwen3_forward(lp, cfg, ids)
+    assert not np.allclose(np.asarray(logits_ad), np.asarray(logits0))
+    merged = merge_lora(lp)
+    assert not any(
+        "lora" in "/".join(str(getattr(p, "key", p)) for p in path)
+        for path, _ in jax.tree_util.tree_leaves_with_path(merged))
+    _, logits_m = qwen3_forward(merged, cfg, ids)
+    np.testing.assert_allclose(np.asarray(logits_m), np.asarray(logits_ad),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bare_lora_sft_moves_only_adapters():
+    from omnivideo_tpu.training.sft import (
+        SFTConfig,
+        build_sft_labels,
+        init_sft_state,
+        make_sft_optimizer,
+        make_sft_step,
+    )
+    from omnivideo_tpu.training.lora import inject_lora_bare, lora_masked
+
+    cfg, base = _tiny_qwen3()
+    params = {"lm": inject_lora_bare(base, jax.random.PRNGKey(1), rank=4)}
+    tc = SFTConfig(learning_rate=1e-3, max_grad_norm=1.0, warmup_steps=1,
+                   total_steps=10)
+    tx = lora_masked(make_sft_optimizer(tc), params)
+    state = init_sft_state(params, tx)
+    step = jax.jit(make_sft_step(cfg, tc, tx))
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0,
+                             cfg.vocab_size)
+    batch = {"ids": ids, "labels": build_sft_labels(ids, jnp.array([2, 3]))}
+    for _ in range(2):
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))
+
+    changed = unchanged = 0
+    for (pa, la), (_, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(state.params)):
+        name = "/".join(str(getattr(p, "key", p)) for p in pa)
+        same = np.array_equal(np.asarray(la), np.asarray(lb))
+        if "_lora_a" in name or "_lora_b" in name:
+            changed += 0 if same else 1
+        else:
+            assert same, f"frozen leaf moved: {name}"
+            unchanged += 1
+    assert changed > 0 and unchanged > 0

@@ -56,6 +56,13 @@ def parse_args():
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="LoRA rank over the LLM attention q/k/v/o and dense "
+                        "MLP projections (0 = full finetune) — the "
+                        "reference's PEFT lora_enable role; trains ONLY "
+                        "the adapters (training/lora.py)")
+    p.add_argument("--lora_alpha", type=float, default=None,
+                   help="LoRA alpha (scale = alpha/rank; default = rank)")
     p.add_argument("--align_weight", type=float, default=0.0,
                    help=">0 trains the vision-head/adapter chain too")
     p.add_argument("--cosine_weight", type=float, default=0.0)
@@ -215,6 +222,22 @@ def main():
         align_weight=args.align_weight, cosine_weight=args.cosine_weight,
     )
     tx = make_sft_optimizer(tc)
+    if args.lora_rank > 0:
+        from omnivideo_tpu.training.lora import (
+            count_lora_params,
+            inject_lora_bare,
+            lora_masked,
+        )
+
+        params["lm"] = inject_lora_bare(
+            params["lm"], jax.random.PRNGKey(args.seed + 7),
+            args.lora_rank, alpha=args.lora_alpha)
+        # the tiny alignment chain (when present) keeps training — only
+        # the LLM base freezes
+        tx = lora_masked(tx, params, extra_filters=("chain",))
+        log.info("LoRA rank %d over LLM q/k/v/o + dense MLP: %d adapter "
+                 "params trainable", args.lora_rank,
+                 count_lora_params(params["lm"]))
     step = jax.jit(make_sft_step(cfg, tc, tx,
                                  sp_mesh=mesh if args.sp > 1 else None))
     state = init_sft_state(params, tx)
