@@ -54,6 +54,17 @@ class Qwen3VLVisionConfig:
         return int(self.num_position_embeddings**0.5)
 
 
+def _lin(p, name, x):
+    """Bare-kernel matmul with optional LoRA sibling keys (training/
+    lora.py::inject_lora_bare — the reference's lora_vt target)."""
+    y = x @ p[name]
+    a = p.get(name + "_lora_a")
+    if a is not None:
+        y = y + (((x @ a) @ p[name + "_lora_b"])
+                 * p[name + "_lora_scale"]).astype(y.dtype)
+    return y
+
+
 def _ln(x, p, eps=1e-6):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, -1, keepdims=True)
@@ -162,7 +173,7 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
     def block(x, scanned):
         bp, tap = scanned
         hn = _ln(x, bp["norm1"])
-        qkv = hn @ bp["qkv_w"] + bp["qkv_b"]  # [L, 3·D]
+        qkv = _lin(bp, "qkv_w", hn) + bp["qkv_b"]  # [L, 3·D]
         q, k, v = jnp.split(qkv.reshape(L, 3, N, hd), 3, axis=1)
         q, k, v = q[:, 0], k[:, 0], v[:, 0]
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
@@ -177,10 +188,10 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
         logits = jnp.einsum("bind,bjnd->bnij", qs, ks, preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(logits * (hd**-0.5), axis=-1).astype(vs.dtype)
         o = jnp.einsum("bnij,bjnd->bind", probs, vs, preferred_element_type=jnp.float32)
-        o = o.astype(x.dtype).reshape(L, N * hd) @ bp["proj_w"] + bp["proj_b"]
+        o = _lin(bp, "proj_w", o.astype(x.dtype).reshape(L, N * hd)) + bp["proj_b"]
         x = x + o
         hn = _ln(x, bp["norm2"])
-        x = x + _act(hn @ bp["mlp_fc1_w"] + bp["mlp_fc1_b"], cfg.hidden_act) @ bp["mlp_fc2_w"] + bp["mlp_fc2_b"]
+        x = x + _lin(bp, "mlp_fc2_w", _act(_lin(bp, "mlp_fc1_w", hn) + bp["mlp_fc1_b"], cfg.hidden_act)) + bp["mlp_fc2_b"]
         # zero out non-tapped layers so the stacked output stays cheap to
         # fuse; the actual gather happens once after the scan
         return x, jnp.where(tap, x, jnp.zeros_like(x))

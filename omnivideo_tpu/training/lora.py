@@ -204,6 +204,11 @@ def apply_lora_state(params, lora_state):
 DEFAULT_BARE_NAMES: Tuple[str, ...] = ("q", "k", "v", "o",
                                        "gate", "up", "down")
 
+# Qwen3-VL vision tower linears (reference lora_vt role) — pass as
+# ``names=VISION_BARE_NAMES`` to inject_lora_bare over the vision params
+VISION_BARE_NAMES: Tuple[str, ...] = ("qkv_w", "proj_w",
+                                      "mlp_fc1_w", "mlp_fc2_w")
+
 
 def inject_lora_bare(params, key, rank: int, alpha: float | None = None,
                      names: Iterable[str] = DEFAULT_BARE_NAMES,

@@ -290,3 +290,83 @@ def test_bare_lora_sft_moves_only_adapters():
             assert same, f"frozen leaf moved: {name}"
             unchanged += 1
     assert changed > 0 and unchanged > 0
+
+
+def _tiny_vision():
+    from omnivideo_tpu.models.qwen3vl.vision_model import Qwen3VLVisionConfig
+
+    cfg = Qwen3VLVisionConfig(
+        hidden_size=32, intermediate_size=64, depth=3, num_heads=4,
+        in_channels=3, patch_size=4, temporal_patch_size=2,
+        spatial_merge_size=2, out_hidden_size=48,
+        num_position_embeddings=36, deepstack_visual_indexes=(0, 1))
+    D, M, P = cfg.hidden_size, cfg.intermediate_size, 36
+    ks = iter(jax.random.split(jax.random.PRNGKey(0), 32))
+    r = lambda *sh: jax.random.normal(next(ks), sh) * 0.05
+
+    def merger(post):
+        # postshuffle (deepstack) mergers LN over u*D; the final merger
+        # LNs over D before the shuffle
+        u = cfg.spatial_merge_size ** 2
+        nd = u * D if post else D
+        return {"norm": {"weight": jnp.ones((nd,)), "bias": jnp.zeros((nd,))},
+                "fc1_w": r(u * D, M), "fc1_b": jnp.zeros((M,)),
+                "fc2_w": r(M, cfg.out_hidden_size),
+                "fc2_b": jnp.zeros((cfg.out_hidden_size,))}
+
+    def block():
+        return {
+            "norm1": {"weight": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+            "norm2": {"weight": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+            "qkv_w": r(D, 3 * D), "qkv_b": jnp.zeros((3 * D,)),
+            "proj_w": r(D, D), "proj_b": jnp.zeros((D,)),
+            "mlp_fc1_w": r(D, M), "mlp_fc1_b": jnp.zeros((M,)),
+            "mlp_fc2_w": r(M, D), "mlp_fc2_b": jnp.zeros((D,)),
+        }
+
+    in_patch = cfg.in_channels * cfg.temporal_patch_size * cfg.patch_size ** 2
+    params = {
+        "patch_embed": {"kernel": r(in_patch, D), "bias": jnp.zeros((D,))},
+        "pos_embed": r(P, D),
+        "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                         block(), block(), block()),
+        "merger": merger(False),
+        "deepstack": [merger(True), merger(True)],
+    }
+    t, h, w = 2, 4, 4
+    pixels = jax.random.normal(next(ks), (t * h * w, in_patch)) * 0.1
+    return cfg, params, pixels, (t, h, w)
+
+
+def test_bare_lora_vision_tower():
+    """Vision-tower adapters (reference lora_vt role): inject over
+    qkv/proj/mlp linears, init-forward identical, merged == adapter."""
+    from omnivideo_tpu.training.lora import (
+        VISION_BARE_NAMES,
+        inject_lora_bare,
+        merge_lora,
+    )
+
+    cfg, params, pixels, grid = _tiny_vision()
+    from omnivideo_tpu.models.qwen3vl.vision_model import vision_forward
+
+    y0, ds0 = vision_forward(params, cfg, pixels, grid)
+    lp = inject_lora_bare(params, jax.random.PRNGKey(1), rank=2,
+                          names=VISION_BARE_NAMES)
+    y1, _ = vision_forward(lp, cfg, pixels, grid)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+
+    def bump(node):
+        if isinstance(node, dict):
+            for k in list(node):
+                if k.endswith("_lora_b"):
+                    node[k] = node[k] + 0.02
+                else:
+                    bump(node[k])
+
+    bump(lp)
+    y_ad, _ = vision_forward(lp, cfg, pixels, grid)
+    assert not np.allclose(np.asarray(y_ad), np.asarray(y0))
+    y_m, _ = vision_forward(merge_lora(lp), cfg, pixels, grid)
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_ad),
+                               rtol=2e-5, atol=2e-5)
