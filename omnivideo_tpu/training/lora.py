@@ -275,6 +275,32 @@ def lora_masked(tx, params, extra_filters: Iterable[str] = ()):
                        optax.masked(optax.set_to_zero(), inv))
 
 
+def save_adapters_npz(params, path):
+    """Write the adapter-only state to one .npz (path::key flat keys) —
+    the portable adapter checkpoint (role of PEFT's adapter_model.bin)."""
+    import numpy as np
+
+    flat = {f"{p}::{k}": np.asarray(v)
+            for p, site in extract_lora(params).items()
+            for k, v in site.items()}
+    assert flat, "no adapters to save"
+    np.savez(path, **flat)
+    return len(flat)
+
+
+def load_adapters_npz(path):
+    """Read a save_adapters_npz file back into the {path: {key: arr}} form
+    apply_lora_state grafts."""
+    import numpy as np
+
+    z = np.load(path)
+    out: dict = {}
+    for key in z.files:
+        p, k = key.split("::")
+        out.setdefault(p, {})[k] = jnp.asarray(z[key])
+    return out
+
+
 def count_lora_params(params) -> int:
     return sum(int(v.size) for site in extract_lora(params).values()
                for k, v in site.items() if not k.endswith("scale"))

@@ -370,3 +370,30 @@ def test_bare_lora_vision_tower():
     y_m, _ = vision_forward(merge_lora(lp), cfg, pixels, grid)
     np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_ad),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_adapter_npz_roundtrip(tmp_path):
+    from omnivideo_tpu.training.lora import (
+        apply_lora_state,
+        load_adapters_npz,
+        save_adapters_npz,
+        strip_lora,
+    )
+
+    base = _init_dit(0)
+    lp = inject_lora(base, jax.random.PRNGKey(1), rank=4)
+
+    def bump(node):
+        if isinstance(node, dict):
+            if "lora_b" in node:
+                node["lora_b"] = node["lora_b"] + 0.01
+            for v in node.values():
+                bump(v)
+
+    bump(lp)
+    path = str(tmp_path / "ad.npz")
+    n = save_adapters_npz(lp, path)
+    assert n > 0
+    re = apply_lora_state(strip_lora(lp), load_adapters_npz(path))
+    np.testing.assert_array_equal(np.asarray(_dit_forward(re)),
+                                  np.asarray(_dit_forward(lp)))

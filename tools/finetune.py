@@ -79,6 +79,10 @@ def parse_args():
     p.add_argument("--lora_export", default=None,
                    help="after training, save the LoRA-merged wan params "
                         "(plain kernels, adapters folded in) to this .npz")
+    p.add_argument("--lora_adapter_export", default=None,
+                   help="after training, save the ADAPTER-ONLY state to "
+                        "this .npz (portable; load at inference with "
+                        "tools/generate.py --lora_adapters)")
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
@@ -313,13 +317,20 @@ def main():
             ckpt.save(step, state, {"step": step})
             logging.info("saved checkpoint at step %d", step)
 
-    if args.lora_rank > 0 and args.lora_export:
+    if args.lora_rank > 0 and (args.lora_export or args.lora_adapter_export):
         import numpy as np
 
-        from omnivideo_tpu.training.lora import merge_lora
+        from omnivideo_tpu.training.lora import merge_lora, save_adapters_npz
 
         wan = (streamer.export_params(state) if args.layer_stream
                else state.params["wan"])
+        if args.lora_adapter_export:
+            Path(args.lora_adapter_export).parent.mkdir(parents=True,
+                                                        exist_ok=True)
+            n = save_adapters_npz(wan, args.lora_adapter_export)
+            logging.info("LoRA adapters exported to %s (%d arrays)",
+                         args.lora_adapter_export, n)
+    if args.lora_rank > 0 and args.lora_export:
         merged = merge_lora(wan)
         flat = {
             "/".join(str(getattr(p, "key", p)) for p in path): np.asarray(leaf)

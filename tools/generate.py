@@ -55,6 +55,10 @@ def parse_args():
     p.add_argument("--ew_impl", default="auto", choices=["auto", "xla", "pallas"],
                    help="pallas: fused AdaLN sandwich (ops/pallas/adaln.py); "
                         "auto: measured winner from ops/tuning.py")
+    p.add_argument("--lora_adapters", default=None,
+                   help="adapter-only .npz from tools/finetune.py "
+                        "--lora_adapter_export; grafted AND merged into the "
+                        "wan weights at load (zero inference overhead)")
     p.add_argument("--layer_stream", action="store_true",
                    help="stream DiT blocks host->HBM per step (single-chip "
                         "deployment for experts larger than device memory, "
@@ -189,6 +193,19 @@ def main():
 
         pipe = load_pipeline(cfg, args.ckpt_dir, attn_impl=args.attn_impl,
                              mesh=mesh, sp=sp, **impl_kw)
+    if args.lora_adapters:
+        from omnivideo_tpu.training.lora import (
+            apply_lora_state,
+            load_adapters_npz,
+            merge_lora,
+        )
+
+        adapters = load_adapters_npz(args.lora_adapters)
+        for expert in {id(pipe.low_noise): pipe.low_noise,
+                       id(pipe.high_noise): pipe.high_noise}.values():
+            expert.wan = merge_lora(apply_lora_state(expert.wan, adapters))
+        logging.info("LoRA adapters merged from %s (%d sites)",
+                     args.lora_adapters, len(adapters))
     if mesh is not None:
         from omnivideo_tpu.parallel.sharding import shard_params
 
