@@ -397,3 +397,91 @@ def test_adapter_npz_roundtrip(tmp_path):
     re = apply_lora_state(strip_lora(lp), load_adapters_npz(path))
     np.testing.assert_array_equal(np.asarray(_dit_forward(re)),
                                   np.asarray(_dit_forward(lp)))
+
+
+@pytest.mark.slow
+def test_lora_composes_with_fsdp_sharded_trainer(tmp_path):
+    """LoRA x FSDP: the sharded unified train step over a (fsdp=2, seq=2)
+    mesh accepts lora-injected params (adapters get default shardings),
+    trains only adapters, and matches the single-device LoRA loss."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from omnivideo_tpu.parallel.mesh import create_mesh
+    from omnivideo_tpu.parallel.sharding import params_shardings
+
+    make_dummy_dataset(tmp_path, n=4, text_len=8, vlm_len=6,
+                       latent_shape=(16, 4, 8, 8), text_dim=48, vlm_dim=16)
+    ds = OmniVideoDataset(str(tmp_path))
+    pad = PadSpec(text_len=12, vlm_len=8, latent_frames=4)
+    batch = {k: jnp.asarray(v)
+             for k, v in collate([ds[i] for i in range(4)], pad).items()}
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "wan": inject_lora(_init_dit(0), k3, rank=4),
+        "companions": init_unified_companions(k2, CFG),
+    }
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=20,
+                     cfg_dropout=0.0, grad_clip=1.0, remat=True,
+                     trainable_filters=LORA_FILTERS)
+
+    # single-device reference step
+    tx = make_optimizer(tc, params)
+    sd_state = init_train_state(params, tx)
+    sd_step = jax.jit(make_unified_train_step(CFG, tc, tx, attn_impl="xla"))
+    sd_state, sd_m = sd_step(sd_state, batch, jax.random.PRNGKey(42))
+
+    mesh = create_mesh(1, 2, 2)
+    sharded = jax.tree_util.tree_map(
+        jax.device_put, params, params_shardings(params, mesh))
+    tx2 = make_optimizer(tc, sharded)
+    state = init_train_state(sharded, tx2)
+    step = jax.jit(make_unified_train_step(CFG, tc, tx2, mesh=mesh,
+                                           attn_impl="xla"))
+    state, m = step(state, batch, jax.random.PRNGKey(42))
+    np.testing.assert_allclose(float(m["loss"]), float(sd_m["loss"]),
+                               rtol=1e-5)
+    # frozen base bit-identical on the mesh too
+    for (pa, la), (_, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(state.params)):
+        name = "/".join(str(getattr(p, "key", p)) for p in pa)
+        if "lora_a" not in name and "lora_b" not in name:
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=name)
+
+
+def test_bare_lora_sp_forward_matches_single_device():
+    """LLM adapters ride the ring-SP forward: qwen3_forward_sp over a
+    4-device mesh == qwen3_forward, with non-zero adapters active."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from omnivideo_tpu.models.qwen3vl.text_model import (
+        qwen3_forward,
+        qwen3_forward_sp,
+    )
+    from omnivideo_tpu.parallel.mesh import create_mesh
+    from omnivideo_tpu.training.lora import inject_lora_bare
+
+    cfg, base = _tiny_qwen3()
+    lp = inject_lora_bare(base, jax.random.PRNGKey(1), rank=4)
+
+    def bump(node):
+        if isinstance(node, dict):
+            for k in list(node):
+                if k.endswith("_lora_b"):
+                    node[k] = node[k] + 0.02
+                else:
+                    bump(node[k])
+
+    bump(lp)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 32), 0,
+                             cfg.vocab_size)
+    _, ref = qwen3_forward(lp, cfg, ids)
+    mesh = create_mesh(1, 1, 4)
+    _, sp = qwen3_forward_sp(lp, cfg, ids, mesh)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # and the adapters actually matter
+    _, ref_base = qwen3_forward(base, cfg, ids)
+    assert not np.allclose(np.asarray(ref), np.asarray(ref_base))
