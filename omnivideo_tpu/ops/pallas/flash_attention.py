@@ -165,19 +165,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_block_k(Lk: int, block_k: int) -> int:
-    """Largest multiple of 128 ≤ block_k that divides round_up(Lk, 128).
+    """Pick bk (multiple of 128, ≤ block_k) minimizing modeled kernel cost.
 
-    A divisor block means zero pad blocks, so at most one boundary block pays
-    the masking cost (e.g. Lk=6272 → bk=896 with no padding at all)."""
+    Each kv step costs ~bk rows of MXU work plus a fixed per-step overhead
+    (l/m carry updates, pipeline bubble) worth ~128 rows, so the scan
+    minimizes kv_steps·(bk+128). A zero-waste divisor wins when the shape
+    offers one at useful size (Lk=6272 → bk=896, no padded columns at all);
+    a fat boundary-masked tile wins when it doesn't (Lk_r=75,648 = 128·3·197
+    has no divisor between 384 and 2048 — divisor-only choice collapsed
+    720p self-attention to 197 skinny 384-row steps, 0.72 → 0.58 MXU on
+    chip; one partially-masked 2048 block is far cheaper). Ascending scan +
+    strict < keeps the smaller zero-waste tile on modeled ties."""
     target = _round_up(Lk, 128)
-    best = 128
     m = min(block_k, target)
     m -= m % 128
-    while m >= 128:
-        if target % m == 0:
-            best = m
-            break
-        m -= 128
+    best, best_cost = 128, None
+    bk = 128
+    while bk <= m:
+        steps = -(-target // bk)
+        cost = steps * (bk + 128)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = bk, cost
+        bk += 128
     return best
 
 

@@ -59,9 +59,13 @@ def _qk_prep_kernel(x_ref, g_ref, ce_ref, se_ref, p_ref, y_ref, rn_ref,
         y3 = x3.astype(jnp.float32)
     y_ref[0] = y3.astype(y_ref.dtype).reshape(bq, d)
     # per-head max row norm (f32 pre-cast; rope preserves row norms, the
-    # wrapper adds slack for the bf16 cast)
-    rn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(y3), axis=-1), axis=0))  # [N]
-    rn_ref[0, 0] = jnp.pad(rn, (0, rn_ref.shape[-1] - n_heads))
+    # wrapper adds slack for the bf16 cast). Stores stay 2D and the output
+    # block carries a sublane dim of 8 — TPU tiling requires the last two
+    # block dims be (8k, 128k) or full; a (1, 128) row block is unlowerable.
+    rn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(y3), axis=-1),
+                          axis=0, keepdims=True))           # [1, N]
+    rn = jnp.pad(rn, ((0, 0), (0, rn_ref.shape[-1] - n_heads)))
+    rn_ref[0, 0] = jnp.broadcast_to(rn, rn_ref.shape[2:])   # [8, rn_w]
 
 
 def qk_prep(
@@ -128,12 +132,12 @@ def qk_prep(
         out_specs=(
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rn_w), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, 1, 8, rn_w), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, L_p, d), x.dtype),
-            jax.ShapeDtypeStruct((B, L_p // bq, rn_w), jnp.float32),
+            jax.ShapeDtypeStruct((B, L_p // bq, 8, rn_w), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -142,5 +146,6 @@ def qk_prep(
     )(x, gain.astype(x.dtype)[None], ce, se, P)
     y = y[:, :L].reshape(B, L, num_heads, hd)
     # tile-max -> global max; *(1+2^-7) covers the bf16 round-up of y
-    rn = jnp.max(rn[:, :, :num_heads], axis=1) * jnp.float32(1.0 + 2.0**-7)
+    rn = (jnp.max(rn[:, :, 0, :num_heads], axis=1)
+          * jnp.float32(1.0 + 2.0**-7))
     return y, rn
