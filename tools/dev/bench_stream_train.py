@@ -15,6 +15,7 @@ Emits PHASE_JSON lines (mergeable via tools/dev/merge_phase_cache.py).
 """
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -88,10 +89,39 @@ def main():
                 ).astype(s.dtype)
 
     block0 = jax.tree_util.tree_map(host_leaf, shapes)
-    host_blocks = [jax.tree_util.tree_map(np.copy, block0)
-                   for _ in range(nl - 1)] + [block0]
     blk_gb = sum(l.size * l.dtype.itemsize
                  for l in jax.tree_util.tree_leaves(block0)) / 1e9
+
+    # --- transfer pre-probe: a streamed step moves >=2*nl blocks h2d (fwd +
+    # bwd recompute) plus d2h roundtrips in full mode. Over the axon tunnel
+    # per-block transfer can be latency-bound (~17 s/block observed, vs
+    # ~0.1 s at PCIe rates); projecting past the phase budget means the step
+    # CANNOT finish and would be timeout-killed mid-op — which wedges the
+    # tunnel for 10-40 min (CLAUDE.md). Bail gracefully instead, leaving the
+    # measured bandwidth as the evidence.
+    if not args.tiny:
+        budget = float(os.environ.get("BENCH_STRAIN_BUDGET_S", "800"))
+        dev = jax.devices()[0]
+        tp0 = time.time()
+        dev_blk = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, dev), block0)
+        float(sum(jnp.sum(l[..., :1].astype(jnp.float32))
+                  for l in jax.tree_util.tree_leaves(dev_blk)))
+        t_blk = time.time() - tp0
+        del dev_blk
+        passes = 2 if args.lora else 3   # lora: base fwd+bwd; full: +update
+        proj = t_blk * nl * passes
+        emit({"a14b_train_stream_h2d_block_s": round(t_blk, 2),
+              "a14b_train_stream_step_projected_s": round(proj, 1)})
+        if proj > budget:
+            print(f"# BAIL: projected streamed step {proj:.0f}s > budget "
+                  f"{budget:.0f}s (block transfer {t_blk:.1f}s x {nl} x "
+                  f"{passes} passes) — tunnel-latency-bound; not runnable "
+                  f"without a timeout kill", flush=True)
+            return
+
+    host_blocks = [jax.tree_util.tree_map(np.copy, block0)
+                   for _ in range(nl - 1)] + [block0]
     print(f"# host stack built: {nl} x {blk_gb:.2f} GB "
           f"in {time.time() - t0:.0f}s", flush=True)
 
