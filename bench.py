@@ -375,7 +375,7 @@ def bench_a14b_stream(budget_s: float = 700.0):
     from omnivideo_tpu.configs import WAN_CONFIGS
     from omnivideo_tpu.models.wan_dit import init_wan_dit, init_wan_block
     from omnivideo_tpu.pipelines.streaming import (
-        BlockStreamingExecutor, wan_dit_stream_apply)
+        BlockPacker, BlockStreamingExecutor, wan_dit_stream_apply)
 
     t_start = time.perf_counter()
     left = lambda: budget_s - (time.perf_counter() - t_start)
@@ -416,6 +416,18 @@ def bench_a14b_stream(budget_s: float = 700.0):
     out["a14b_stream_h2d_gbps"] = round(blk_bytes / t_h2d / 1e9, 2)
     out["a14b_stream_block_gb"] = round(blk_bytes / 1e9, 2)
     _phase_emit(dict(out))
+
+    # packed: per-leaf device_put pays ~30 tunnel round trips per block —
+    # one flat buffer per dtype (BlockPacker) measures the wire rate instead
+    packer = BlockPacker(host_block)
+    pk_bufs = packer.pack(host_block)
+    t0 = time.perf_counter()
+    dev_bufs = {k: jax.device_put(v, dev) for k, v in pk_bufs.items()}
+    float(sum(jnp.sum(v[:8].astype(jnp.float32)) for v in dev_bufs.values()))
+    t_h2d_pk = time.perf_counter() - t0
+    out["a14b_stream_h2d_packed_gbps"] = round(blk_bytes / t_h2d_pk / 1e9, 2)
+    _phase_emit(dict(out))
+    del dev_bufs
 
     # --- inputs + resident params ---
     resident = init_wan_dit(jax.random.PRNGKey(1), cfg, jnp.bfloat16,
@@ -462,18 +474,26 @@ def bench_a14b_stream(budget_s: float = 700.0):
 
     t_step = ondevice("480p", batch, x, t_in, ctx, first=True)
     if os.environ.get("BENCH_STREAM_720P") and left() > 250:
+        # 720p seq 75,600 needs the HBM the 8 variants hold (5.6 GB): shrink
+        # the ring to 2 blocks for this pass (same per-block compute) — the
+        # first 720p attempt OOMed with all 8 resident
+        variants = variants[:2]
+        sched = [variants[i % len(variants)] for i in range(nl)]
+        ex = BlockStreamingExecutor(cfg, sched, window=1, device=dev)
         x7 = jax.random.normal(jax.random.PRNGKey(5),
                                (1, cfg.in_dim, 21, 90, 160), jnp.float32)
         ondevice("720p", 1, x7, t_in[:1], ctx[:1])
         del x7
     del variants, sched, ex
 
-    # --- streamed pass: real host->HBM transfer per dispatch ---
+    # --- streamed pass: real host->HBM transfer per dispatch (packed:
+    # one flat buffer per dtype, not ~30 latency-bound per-leaf puts) ---
     t_block = t_step / nl
-    per = max(t_h2d, t_block)
+    per = max(t_h2d_pk, t_block)
     n_stream = int(max(4, min(nl, (left() - 30.0) / max(per, 1e-3))))
     host_sched = [host_block] * n_stream
-    ex = BlockStreamingExecutor(cfg, host_sched, window=2, device=dev)
+    ex = BlockStreamingExecutor(cfg, host_sched, window=2, device=dev,
+                                packed=True)
     L = frames * (hh // 2) * (ww // 2)
     h0 = jax.random.normal(jax.random.PRNGKey(4), (batch, L, cfg.dim),
                            jnp.float32)

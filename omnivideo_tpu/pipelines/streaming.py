@@ -65,6 +65,64 @@ def _block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str = "auto",
     return apply
 
 
+class BlockPacker:
+    """Pack a block param pytree into one flat host buffer per dtype.
+
+    Over the axon tunnel a per-leaf `device_put` pays a full round trip per
+    leaf — a ~30-leaf 0.7 GB wan block measured 0.04 GB/s (17.5 s/block),
+    pure latency. Packing collapses that to one transfer per dtype (bf16
+    params + tiny f32 norm gains = 2 round trips); the device-side unpack is
+    static slicing + reshape inside the block's jit, fused by XLA at HBM
+    bandwidth. Hashable (structure + leaf specs) so jitted wrappers keyed on
+    a packer share lru_cache entries across executor instances."""
+
+    def __init__(self, example):
+        leaves, self.treedef = jax.tree_util.tree_flatten(example)
+        sizes: dict = {}
+        self.specs = []
+        for leaf in leaves:
+            key = jnp.dtype(leaf.dtype).name
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            off = sizes.get(key, 0)
+            self.specs.append((key, off, n, tuple(leaf.shape)))
+            sizes[key] = off + n
+        self.sizes = sizes
+        self._sig = (self.treedef, tuple(self.specs))
+
+    def __hash__(self):
+        return hash(self._sig)
+
+    def __eq__(self, other):
+        return isinstance(other, BlockPacker) and self._sig == other._sig
+
+    def pack(self, block):
+        """Host-side: pytree of numpy arrays → {dtype_name: flat np array}."""
+        leaves = jax.tree_util.tree_leaves(block)
+        bufs = {k: np.empty((n,), dtype=np.dtype(k))
+                for k, n in self.sizes.items()}
+        for leaf, (key, off, n, _) in zip(leaves, self.specs):
+            bufs[key][off:off + n] = np.asarray(leaf).reshape(-1)
+        return bufs
+
+    def unpack(self, bufs):
+        """jit-safe: {dtype_name: flat array} → block pytree (static slices)."""
+        leaves = [bufs[key][off:off + n].reshape(shape)
+                  for (key, off, n, shape) in self.specs]
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
+
+@functools.lru_cache(maxsize=8)
+def _packed_block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str,
+                         ew_impl: str, packer: BlockPacker):
+    @jax.jit
+    def apply(bufs, x, aux):
+        return wan_block_apply(packer.unpack(bufs), x, aux, cfg,
+                               attn_impl=attn_impl, qk_impl=qk_impl,
+                               ew_impl=ew_impl)
+
+    return apply
+
+
 class BlockStreamingExecutor:
     """Streams a list of host-resident block param pytrees through a fixed
     ring of device slots, overlapping transfer with compute.
@@ -85,13 +143,27 @@ class BlockStreamingExecutor:
         qk_impl: str = "auto",
         ew_impl: str = "auto",
         device=None,
+        packed: bool = False,
     ):
         assert window >= 1
         self.cfg = cfg
         self.host_blocks = list(host_blocks)
         self.window = window
         self.device = device or jax.devices()[0]
-        self._block_fn = _block_fn_for(cfg, attn_impl, qk_impl, ew_impl)
+        if packed:
+            # host numpy stacks only (packing a device-resident schedule
+            # would pull it back to host). Aliased entries pack once.
+            self._packer = BlockPacker(self.host_blocks[0])
+            packed_cache: dict = {}
+            for idx, blk in enumerate(self.host_blocks):
+                key = id(blk)
+                if key not in packed_cache:
+                    packed_cache[key] = self._packer.pack(blk)
+                self.host_blocks[idx] = packed_cache[key]
+            self._block_fn = _packed_block_fn_for(
+                cfg, attn_impl, qk_impl, ew_impl, self._packer)
+        else:
+            self._block_fn = _block_fn_for(cfg, attn_impl, qk_impl, ew_impl)
 
     def _put(self, i):
         return jax.tree_util.tree_map(

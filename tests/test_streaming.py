@@ -91,6 +91,45 @@ def test_pipeline_layer_stream_generate_matches_scanned():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_packer_roundtrip_mixed_dtypes():
+    """BlockPacker: flat per-dtype buffers reconstruct the pytree exactly."""
+    from omnivideo_tpu.pipelines.streaming import BlockPacker
+
+    block = {
+        "w": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "g": np.ones((5,), jnp.bfloat16),
+        "nested": {"b": np.full((2, 2), 7, np.float32)},
+    }
+    packer = BlockPacker(block)
+    bufs = packer.pack(block)
+    assert set(bufs) == {"float32", "bfloat16"}
+    back = packer.unpack({k: jnp.asarray(v) for k, v in bufs.items()})
+    for a, b in zip(jax.tree_util.tree_leaves(block),
+                    jax.tree_util.tree_leaves(back)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streamed_packed_matches_scanned():
+    """packed=True (one flat host buffer per dtype per block, unpacked by
+    static slicing inside the block jit) is numerics-identical to the
+    per-leaf schedule and to the scanned forward."""
+    cfg, params, x, t, ctx = _tiny()
+    ref = wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla")
+    resident, blocks = split_host_params(params)
+    ex = BlockStreamingExecutor(cfg, blocks, window=2, attn_impl="xla",
+                                packed=True)
+    out = wan_dit_stream_apply(resident, ex, cfg, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # aliased schedule entries pack ONCE (bench schedules reuse one block)
+    ex2 = BlockStreamingExecutor(cfg, [blocks[0]] * 4, window=1,
+                                 attn_impl="xla", packed=True)
+    assert ex2.host_blocks[0] is ex2.host_blocks[3]
+    out2 = wan_dit_stream_apply(resident, ex2, cfg, x, t, ctx)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
 def test_streamed_aliased_blocks_single_compile():
     """Benchmark schedules alias one host block for all layer indices; the
     executor must reuse ONE jit entry across blocks (shape-identical). The
