@@ -109,6 +109,13 @@ def fused_adaln_pallas(
     """
     B, L, d = x.shape
     assert d % 128 == 0, d
+    # VMEM cap: each grid step holds ~4 row tensors (x, o, x_new, y) at up
+    # to f32 plus pipeline double-buffering — ~16 B/elem of stack. Cap the
+    # row tile so dim 5120 fits the 16 MB scoped-vmem limit (256 rows at
+    # d=5120 compiled to a 20.2 MB allocation and was rejected); dim 1536
+    # keeps the tuned 256-row tile.
+    cap_rows = max(8, (7 * 2**20) // (d * 16) // 8 * 8)
+    block_rows = min(block_rows, cap_rows)
     has_res, has_gate = o is not None, gate is not None
     has_affine, has_mod = ln_scale is not None, mod_scale is not None
     assert has_res or not has_gate

@@ -76,18 +76,29 @@ def main():
                 p, c, aux, cfg, attn_impl="auto", ew_impl=ew, qk_impl=qk),
                 None),
                 xx, None, length=reps)[0].astype(jnp.float32)))
-        float(fwd(params, x, aux))  # compile + warm
+        label = f"xattn={mode} ew={ew} qk={qk}"
+        try:
+            float(fwd(params, x, aux))  # compile + warm
+        except Exception as err:  # compile-time reject (e.g. VMEM) — a
+            # broken VARIANT must not abort the whole A/B (it did: the
+            # dim-5120 fused-adaln scoped-vmem overflow killed step 9)
+            print(f"{label:36s} FAILED: {type(err).__name__}: "
+                  f"{str(err)[:160]}", flush=True)
+            jax.clear_caches()
+            continue
         t0 = time.perf_counter()
         for _ in range(args.reps):
             float(fwd(params, x, aux))
         t = (time.perf_counter() - t0) / args.reps / reps
         mxu = flops / t / peak
-        label = f"xattn={mode} ew={ew} qk={qk}"
         print(f"{label:36s} {t*1e3:8.1f} ms/block  {mxu:5.1%} MXU",
               flush=True)
         results.append((mxu, label, t, (mode, ew, qk)))
         jax.clear_caches()
     os.environ.pop("FLASH_XATTN_MODE", None)
+    if not results:
+        print("no variant completed", flush=True)
+        return
 
     results.sort(reverse=True)
     best = results[0]
