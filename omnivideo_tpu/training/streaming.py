@@ -72,6 +72,33 @@ from .trainer import (
 )
 
 
+from ..pipelines.streaming import BlockPacker
+
+
+@functools.lru_cache(maxsize=32)
+def _unpack_jit(packer: BlockPacker):
+    """Device-side unpack: {dtype: flat} → pytree (static slices, one jit
+    per packer signature)."""
+    return jax.jit(packer.unpack)
+
+
+@functools.lru_cache(maxsize=32)
+def _pack_jit(packer: BlockPacker):
+    """Device-side pack: pytree → {dtype: flat} so a d2h fetch is one
+    transfer per dtype instead of one per leaf (the tunnel pays a full
+    round trip per transfer — see pipelines/streaming.py::BlockPacker)."""
+
+    def pack(tree):
+        groups: Dict[str, list] = {}
+        for leaf, (key, _, _, _) in zip(jax.tree_util.tree_leaves(tree),
+                                        packer.specs):
+            groups.setdefault(key, []).append(leaf.reshape(-1))
+        return {k: jnp.concatenate(v) if len(v) > 1 else v[0]
+                for k, v in groups.items()}
+
+    return jax.jit(pack)
+
+
 class StreamedTrainState(NamedTuple):
     """Host-orchestrated training state. `resident` (embeds/time/head — a few
     hundred MB at A14B) and its optimizer state live on device; the block
@@ -103,6 +130,7 @@ class StreamedTrainer:
         attn_impl: str = "auto",
         act_offload: bool = True,
         device=None,
+        packed_transfers: bool = True,
     ):
         assert tc.grad_accum_steps == 1, "streamed trainer: accumulate on host"
         assert not tc.trainable_filters, "streamed trainer trains all params"
@@ -112,6 +140,12 @@ class StreamedTrainer:
         self.attn_impl = attn_impl
         self.act_offload = act_offload
         self.device = device or jax.devices()[0]
+        # packed_transfers: every per-block host<->device crossing (params,
+        # grads, optimizer state) moves as one flat buffer per dtype — the
+        # tunnel pays a round trip per transfer, so ~30-leaf pytrees are
+        # latency-bound otherwise. Host-side cost is one memcpy per pack.
+        self.packed_transfers = packed_transfers
+        self._packers: Dict[Any, BlockPacker] = {}
         self.inner = make_inner_optimizer(tc)
         self.flow = FlowMatchScheduler.create(
             num_inference_steps=tc.num_train_timesteps,
@@ -265,6 +299,35 @@ class StreamedTrainer:
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a, self.device), tree)
 
+    # ---- packed host<->device transfers (one flat buffer per dtype) ----
+    def _packer_for(self, tree) -> BlockPacker:
+        key = jax.tree_util.tree_structure(tree)
+        pk = self._packers.get(key)
+        if pk is None:
+            pk = self._packers[key] = BlockPacker(tree)
+        return pk
+
+    def _put_packed(self, tree):
+        """Host pytree → device pytree via one transfer per dtype. Device
+        or mixed trees fall back to the per-leaf path."""
+        if not self.packed_transfers or not all(
+                isinstance(l, np.ndarray)
+                for l in jax.tree_util.tree_leaves(tree)):
+            return self._put(tree)
+        pk = self._packer_for(tree)
+        bufs = pk.pack(tree)
+        dev = {k: jax.device_put(v, self.device) for k, v in bufs.items()}
+        return _unpack_jit(pk)(dev)
+
+    def _fetch_packed(self, tree):
+        """Device pytree → host numpy pytree via one fetch per dtype."""
+        if not self.packed_transfers:
+            return _to_host(tree)
+        pk = self._packer_for(tree)
+        bufs = _pack_jit(pk)(tree)
+        host = {k: np.asarray(v) for k, v in bufs.items()}
+        return pk.unpack(host)
+
     # ------------------------------------------------------------------
     def train_step(self, state: StreamedTrainState, batch, rng):
         """One exact flow-matching step. Returns (state', metrics)."""
@@ -283,9 +346,10 @@ class StreamedTrainer:
 
         # ---- forward: stream blocks, save inputs (double-buffered h2d) ----
         acts: List[Any] = []
-        slot = self._put(state.host_blocks[0])
+        slot = self._put_packed(state.host_blocks[0])
         for i in range(n):
-            nxt = self._put(state.host_blocks[i + 1]) if i + 1 < n else None
+            nxt = (self._put_packed(state.host_blocks[i + 1])
+                   if i + 1 < n else None)
             acts.append(_to_host(h) if self.act_offload else h)
             h = J["block_fwd"](slot, h, e0, ctx, cos, sin)
             slot = nxt
@@ -306,9 +370,9 @@ class StreamedTrainer:
         one = jnp.float32(1.0)
         d_e0 = None
         d_ctx = None
-        slot = self._put(state.host_blocks[n - 1])
+        slot = self._put_packed(state.host_blocks[n - 1])
         for i in range(n - 1, -1, -1):
-            nxt = self._put(state.host_blocks[i - 1]) if i > 0 else None
+            nxt = self._put_packed(state.host_blocks[i - 1]) if i > 0 else None
             x_i = self._put(acts[i]) if self.act_offload else acts[i]
             dbp, d_h, de0_i, dctx_i = J["block_grads"](
                 slot, x_i, e0, ctx, cos, sin, d_h)
@@ -317,11 +381,12 @@ class StreamedTrainer:
             d_ctx = dctx_i if d_ctx is None else J["acc"](d_ctx, dctx_i)
             if fused:
                 bp2, opt2 = J["upd"](slot, dbp,
-                                     self._put(state.host_block_opts[i]), one)
-                new_blocks[i] = _to_host(bp2)
-                new_opts[i] = _to_host(opt2)
+                                     self._put_packed(
+                                         state.host_block_opts[i]), one)
+                new_blocks[i] = self._fetch_packed(bp2)
+                new_opts[i] = self._fetch_packed(opt2)
             else:
-                host_grads[i] = _to_host(dbp)
+                host_grads[i] = self._fetch_packed(dbp)
             acts[i] = None
             slot = nxt
 
@@ -347,12 +412,13 @@ class StreamedTrainer:
             resident, resident_opt = J["upd"](state.resident, g_res,
                                               state.resident_opt, scale)
             for i in range(n):
-                bp2, opt2 = J["upd"](self._put(state.host_blocks[i]),
-                                     self._put(host_grads[i]),
-                                     self._put(state.host_block_opts[i]),
+                bp2, opt2 = J["upd"](self._put_packed(state.host_blocks[i]),
+                                     self._put_packed(host_grads[i]),
+                                     self._put_packed(
+                                         state.host_block_opts[i]),
                                      scale)
-                new_blocks[i] = _to_host(bp2)
-                new_opts[i] = _to_host(opt2)
+                new_blocks[i] = self._fetch_packed(bp2)
+                new_opts[i] = self._fetch_packed(opt2)
                 host_grads[i] = None
 
         metrics = {"loss": loss, "grad_norm": gnorm}
@@ -438,6 +504,32 @@ class StreamedLoRATrainer(StreamedTrainer):
 
         self._jit["lora_block_fwd"] = lora_block_fwd
         self._jit["lora_block_grads"] = lora_block_grads
+        self._base_key = None
+        self._base_packed: List[Any] = []
+
+    # ------------------------------------------------------------------
+    def _put_base(self, host_blocks, i):
+        """Frozen-base h2d: the packed host buffers never change, so pack
+        the whole stack once per host_blocks identity (aliased entries pack
+        once — bench schedules reuse one block) and reuse across steps."""
+        if not self.packed_transfers or not all(
+                isinstance(l, np.ndarray)
+                for l in jax.tree_util.tree_leaves(host_blocks[i])):
+            return self._put(host_blocks[i])
+        key = (id(host_blocks), id(host_blocks[0]))
+        if self._base_key != key:
+            pk = self._packer_for(host_blocks[0])
+            seen: Dict[int, Any] = {}
+            self._base_packed = []
+            for b in host_blocks:
+                if id(b) not in seen:
+                    seen[id(b)] = pk.pack(b)
+                self._base_packed.append(seen[id(b)])
+            self._base_key = key
+        pk = self._packer_for(host_blocks[0])
+        dev = {k: jax.device_put(v, self.device)
+               for k, v in self._base_packed[i].items()}
+        return _unpack_jit(pk)(dev)
 
     # ------------------------------------------------------------------
     def init_state(self, params) -> StreamedLoRAState:
@@ -480,9 +572,10 @@ class StreamedLoRATrainer(StreamedTrainer):
 
         # ---- forward: stream frozen base, adapters already resident ----
         acts: List[Any] = []
-        slot = self._put(state.host_blocks[0])
+        slot = self._put_base(state.host_blocks, 0)
         for i in range(n):
-            nxt = self._put(state.host_blocks[i + 1]) if i + 1 < n else None
+            nxt = (self._put_base(state.host_blocks, i + 1)
+                   if i + 1 < n else None)
             acts.append(_to_host(h) if self.act_offload else h)
             h = J["lora_block_fwd"](slot, state.lora[i], state.lora_scales[i],
                                     h, e0, ctx, cos, sin)
@@ -493,9 +586,9 @@ class StreamedLoRATrainer(StreamedTrainer):
         # ---- backward: re-stream base, adapter grads stay resident ----
         grads: List[Any] = [None] * n
         total_sq = jnp.zeros((), jnp.float32)
-        slot = self._put(state.host_blocks[n - 1])
+        slot = self._put_base(state.host_blocks, n - 1)
         for i in range(n - 1, -1, -1):
-            nxt = self._put(state.host_blocks[i - 1]) if i > 0 else None
+            nxt = self._put_base(state.host_blocks, i - 1) if i > 0 else None
             x_i = self._put(acts[i]) if self.act_offload else acts[i]
             d_ab, d_h = J["lora_block_grads"](
                 slot, state.lora[i], state.lora_scales[i], x_i,

@@ -100,23 +100,28 @@ def main():
     # tunnel for 10-40 min (CLAUDE.md). Bail gracefully instead, leaving the
     # measured bandwidth as the evidence.
     if not args.tiny:
+        from omnivideo_tpu.pipelines.streaming import BlockPacker
+
         budget = float(os.environ.get("BENCH_STRAIN_BUDGET_S", "800"))
         dev = jax.devices()[0]
+        # probe what the trainer actually transfers: PACKED buffers (one
+        # per dtype — per-leaf puts are tunnel-latency-bound, ~30 s/block)
+        pk = BlockPacker(block0)
+        bufs = pk.pack(block0)
         tp0 = time.time()
-        dev_blk = jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, dev), block0)
-        float(sum(jnp.sum(l[..., :1].astype(jnp.float32))
-                  for l in jax.tree_util.tree_leaves(dev_blk)))
+        dev_bufs = {k: jax.device_put(v, dev) for k, v in bufs.items()}
+        float(sum(jnp.sum(v[:8].astype(jnp.float32))
+                  for v in dev_bufs.values()))
         t_blk = time.time() - tp0
-        del dev_blk
+        del dev_bufs, bufs
         passes = 2 if args.lora else 3   # lora: base fwd+bwd; full: +update
         proj = t_blk * nl * passes
         emit({"a14b_train_stream_h2d_block_s": round(t_blk, 2),
               "a14b_train_stream_step_projected_s": round(proj, 1)})
         if proj > budget:
             print(f"# BAIL: projected streamed step {proj:.0f}s > budget "
-                  f"{budget:.0f}s (block transfer {t_blk:.1f}s x {nl} x "
-                  f"{passes} passes) — tunnel-latency-bound; not runnable "
+                  f"{budget:.0f}s (packed block transfer {t_blk:.1f}s x "
+                  f"{nl} x {passes} passes) — transfer-bound; not runnable "
                   f"without a timeout kill", flush=True)
             return
 
