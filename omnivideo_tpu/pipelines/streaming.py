@@ -271,7 +271,13 @@ def split_host_params(params):
     resident = {k: jax.tree_util.tree_map(np.asarray, v)
                 for k, v in params.items() if k != "blocks"}
     stacked = jax.tree_util.tree_map(np.asarray, params["blocks"])
-    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    leaves = jax.tree_util.tree_leaves(stacked)
+    n = leaves[0].shape[0]
+    if n > 1 and all(getattr(l, "strides", (1,))[0] == 0 for l in leaves):
+        # broadcast-aliased stack (random-weight smoke): one shared block
+        # object, so packed executors pack/cache it once
+        b0 = jax.tree_util.tree_map(lambda a: a[0], stacked)
+        return resident, [b0] * n
     blocks = [jax.tree_util.tree_map(lambda a: a[i], stacked)
               for i in range(n)]
     return resident, blocks

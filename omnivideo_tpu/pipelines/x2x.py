@@ -159,12 +159,29 @@ class OmniVideoX2XUnified:
             shapes = jax.eval_shape(
                 lambda kk: init_wan_dit(kk, config.dit, dtype=dtype), k)
             rng = np.random.default_rng(int(k[-1]))
-            return jax.tree_util.tree_map(
-                lambda s: np.ones(s.shape, np.float32)
-                if (s.ndim == 1 and s.dtype == np.float32)
-                else (rng.standard_normal(s.shape, dtype=np.float32) * 0.02
-                      ).astype(s.dtype),
-                shapes)
+
+            def full_leaf(s):
+                if s.ndim == 1 and s.dtype == np.float32:
+                    return np.ones(s.shape, np.float32)
+                return (rng.standard_normal(s.shape, dtype=np.float32)
+                        * 0.02).astype(s.dtype)
+
+            def block_leaf(s):
+                # stacked block leaves: generate ONE layer and broadcast to
+                # the stack (zero-copy read-only view) — a random-weight
+                # smoke needs no distinct layers, and full-stack host RNG
+                # costs ~4 min per 28 GB A14B expert (e2e timed out on it)
+                if s.ndim <= 1:
+                    return full_leaf(s)
+                one = full_leaf(
+                    jax.ShapeDtypeStruct(s.shape[1:], s.dtype))
+                return np.broadcast_to(one[None], s.shape)
+
+            out = {kk: jax.tree_util.tree_map(full_leaf, v)
+                   for kk, v in shapes.items() if kk != "blocks"}
+            out["blocks"] = jax.tree_util.tree_map(
+                block_leaf, shapes["blocks"])
+            return out
 
         low = ExpertParams(
             wan=init_wan(k1),
