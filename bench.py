@@ -493,7 +493,7 @@ def bench_a14b_stream(budget_s: float = 700.0):
     n_stream = int(max(4, min(nl, (left() - 30.0) / max(per, 1e-3))))
     host_sched = [host_block] * n_stream
     ex = BlockStreamingExecutor(cfg, host_sched, window=2, device=dev,
-                                packed=True)
+                                packed=True, residentize=False)
     L = frames * (hh // 2) * (ww // 2)
     h0 = jax.random.normal(jax.random.PRNGKey(4), (batch, L, cfg.dim),
                            jnp.float32)

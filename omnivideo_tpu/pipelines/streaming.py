@@ -144,6 +144,7 @@ class BlockStreamingExecutor:
         ew_impl: str = "auto",
         device=None,
         packed: bool = False,
+        residentize: bool = True,
     ):
         assert window >= 1
         self.cfg = cfg
@@ -164,10 +165,28 @@ class BlockStreamingExecutor:
                 cfg, attn_impl, qk_impl, ew_impl, self._packer)
         else:
             self._block_fn = _block_fn_for(cfg, attn_impl, qk_impl, ew_impl)
+        # schedules built from <=2 distinct blocks repeated many times
+        # (aliased random-weight smokes, bench variant rings) fit HBM as
+        # device residents — transfer each distinct block ONCE and reuse,
+        # instead of re-streaming identical bytes every dispatch. Real
+        # stacks (40 distinct blocks) never trigger this. residentize=False
+        # opts out (the bench's streamed pass aliases one block precisely
+        # to MEASURE per-dispatch transfers).
+        self._resident = None
+        uniq = {id(b) for b in self.host_blocks}
+        if residentize and len(uniq) <= 2 and len(self.host_blocks) > len(uniq):
+            self._resident = {}
+            for b in self.host_blocks:
+                if id(b) not in self._resident:
+                    self._resident[id(b)] = jax.tree_util.tree_map(
+                        lambda a: jax.device_put(a, self.device), b)
 
     def _put(self, i):
+        blk = self.host_blocks[i]
+        if self._resident is not None:
+            return self._resident[id(blk)]
         return jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, self.device), self.host_blocks[i]
+            lambda a: jax.device_put(a, self.device), blk
         )
 
     def run_blocks(self, h: jnp.ndarray, aux: WanAuxInputs) -> jnp.ndarray:
