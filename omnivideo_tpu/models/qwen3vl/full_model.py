@@ -113,6 +113,10 @@ def _rotate_half(x):
 
 
 def _text_layer_mrope(lp, x, cos, sin, cfg: Qwen3TextConfig, mask_bias):
+    """mask_bias=None → pure token causality, flash-eligible (cfg.attn_impl
+    — same dispatch as text_model._attention)."""
+    from .text_model import _flash_mode
+
     B, L, D = x.shape
     N, K, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     hn = _rms(x, lp["ln1"], cfg.rms_norm_eps)
@@ -128,6 +132,22 @@ def _text_layer_mrope(lp, x, cos, sin, cfg: Qwen3TextConfig, mask_bias):
     k = (kf * c + _rotate_half(kf) * s).astype(x.dtype)
     k = jnp.repeat(k, N // K, axis=2)
     v = jnp.repeat(v, N // K, axis=2)
+    use_flash, interp = _flash_mode(cfg.attn_impl)
+    if mask_bias is None and use_flash:
+        from ...ops.pallas.flash_attention import flash_attention_infer
+
+        o = flash_attention_infer(q, k, v, causal=True, interpret=interp)
+        o = o.astype(x.dtype).reshape(B, L, N * hd) @ lp["attn"]["o"]
+        x = x + o
+        hn = _rms(x, lp["ln2"], cfg.rms_norm_eps)
+        if "experts" in lp["mlp"]:
+            x = x + _moe(lp["mlp"], hn, cfg)
+        else:
+            x = x + _mlp(lp["mlp"], hn)
+        return x
+    if mask_bias is None:
+        tri = jnp.tril(jnp.ones((L, L), bool))[None, None]
+        mask_bias = jnp.where(tri, 0.0, -3.4e38).astype(jnp.float32)
     logits = jnp.einsum("bind,bjnd->bnij", q, k, preferred_element_type=jnp.float32) * (
         hd**-0.5
     )
@@ -188,8 +208,7 @@ def qwen3vl_forward(
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
     L = ids.shape[1]
-    causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
-    bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
+    bias = None  # pure causal → flash-eligible (_text_layer_mrope)
 
     nl = tcfg.num_hidden_layers
     n_deep = len(deepstack)
@@ -306,8 +325,12 @@ def qwen3vl_greedy_decode(
     cos_np, sin_np = _mrope_cos_sin(pos, cfg)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
-    causal = jnp.tril(jnp.ones((Lp, Lp), bool))[None, None]
-    bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
+    from .text_model import _flash_mode
+
+    use_flash, interp = _flash_mode(tcfg.attn_impl)
+    if not use_flash:
+        causal = jnp.tril(jnp.ones((Lp, Lp), bool))[None, None]
+        bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
 
     k_cache = jnp.zeros((nl, B, max_len, K, hd), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
@@ -329,9 +352,15 @@ def qwen3vl_greedy_decode(
         v_cache = v_cache.at[i, :, :Lp].set(v.astype(jnp.float32))
         kr = jnp.repeat(k, N // K, axis=2)
         vr = jnp.repeat(v, N // K, axis=2)
-        logits = jnp.einsum("bind,bjnd->bnij", q, kr, preferred_element_type=jnp.float32) * (hd**-0.5)
-        probs = jax.nn.softmax(logits + bias, axis=-1).astype(vr.dtype)
-        o = jnp.einsum("bnij,bjnd->bind", probs, vr, preferred_element_type=jnp.float32)
+        if use_flash:
+            from ...ops.pallas.flash_attention import flash_attention_infer
+
+            o = flash_attention_infer(q, kr, vr, causal=True,
+                                      interpret=interp)
+        else:
+            logits = jnp.einsum("bind,bjnd->bnij", q, kr, preferred_element_type=jnp.float32) * (hd**-0.5)
+            probs = jax.nn.softmax(logits + bias, axis=-1).astype(vr.dtype)
+            o = jnp.einsum("bnij,bjnd->bind", probs, vr, preferred_element_type=jnp.float32)
         x = x + (o.astype(x.dtype).reshape(B, Lp, N * hd) @ lp["attn"]["o"])
         hn = _rms(x, lp["ln2"], tcfg.rms_norm_eps)
         x = x + (_moe(lp["mlp"], hn, tcfg) if "experts" in lp["mlp"] else _mlp(lp["mlp"], hn))

@@ -43,6 +43,22 @@ class Qwen3TextConfig:
     moe_intermediate_size: int = 768
     norm_topk_prob: bool = True
     moe_impl: str = "ragged"  # "ragged" | "megablox" (TPU Pallas) | "dense"
+    # causal-prefill attention: "auto" (flash kernel on TPU, dense
+    # elsewhere), "flash", "flash_interpret" (CPU tests), "dense". The
+    # dense-softmax form materializes [B, N, L, L] f32 logits (2.1 GB at
+    # L=4096) — the flash kernel never does and skips above-diagonal blocks.
+    attn_impl: str = "auto"
+
+
+def _flash_mode(impl: str):
+    """→ (use_flash, interpret) for the causal-prefill dispatch."""
+    if impl == "dense":
+        return False, False
+    if impl == "flash":
+        return True, False
+    if impl == "flash_interpret":
+        return True, True
+    return jax.default_backend() == "tpu", False  # auto
 
 
 def _rms(x, w, eps):
@@ -162,7 +178,12 @@ class KVCache(NamedTuple):
 
 
 def _attention(lp, x, pos, cfg, mask_bias, cache_kv=None):
-    """Returns (out, (k_new, v_new)) — k/v for this call's tokens only."""
+    """Returns (out, (k_new, v_new)) — k/v for this call's tokens only.
+
+    mask_bias=None means PURE token causality: eligible for the flash
+    kernel (cfg.attn_impl), which never materializes the [B, N, L, L]
+    logits. An explicit bias (padded batches, custom masks) or a KV cache
+    (decode) takes the dense path."""
     B, L, D = x.shape
     N, K, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     q = _lin(lp, "q", x).reshape(B, L, N, hd)
@@ -179,6 +200,20 @@ def _attention(lp, x, pos, cfg, mask_bias, cache_kv=None):
         k_all, v_all = k, v
 
     rep = N // K
+    use_flash, interp = _flash_mode(cfg.attn_impl)
+    if mask_bias is None and cache_kv is None and use_flash:
+        from ...ops.pallas.flash_attention import flash_attention_infer
+
+        o = flash_attention_infer(
+            q, jnp.repeat(k, rep, axis=2), jnp.repeat(v, rep, axis=2),
+            causal=True, interpret=interp)
+        o = _lin(lp, "o", o.astype(x.dtype).reshape(B, L, N * hd))
+        return o, (k, v)
+
+    if mask_bias is None:  # dense fallback builds the causal bias itself
+        tri = jnp.tril(jnp.ones((L, L), bool))[None, None]
+        mask_bias = jnp.where(tri, 0.0, -3.4e38).astype(jnp.float32)
+
     k_r = jnp.repeat(k_all, rep, axis=2)
     v_r = jnp.repeat(v_all, rep, axis=2)
     logits = jnp.einsum(
@@ -211,9 +246,10 @@ def qwen3_forward(
     B, L = ids.shape
     x = params["embed"][ids]
     pos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
-    causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
-    bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
+    bias = None  # pure causal → flash-eligible (_attention)
     if attn_mask is not None:
+        causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
+        bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
         bias = bias + jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -3.4e38)
 
     def body(xx, lp):
@@ -248,11 +284,9 @@ def qwen3_greedy_decode(
     # ---- prefill (scan over stacked layers — no per-layer unroll) ---------
     x = params["embed"][prompt_ids]
     pos = jnp.arange(Lp)[None]
-    causal = jnp.tril(jnp.ones((Lp, Lp), bool))[None, None]
-    bias = jnp.where(causal, 0.0, -3.4e38).astype(jnp.float32)
 
     def prefill_body(xx, lp):
-        y, (k, v) = _layer(lp, xx, pos, cfg, bias)
+        y, (k, v) = _layer(lp, xx, pos, cfg, None)  # pure causal → flash-ok
         return y, (k.astype(jnp.float32), v.astype(jnp.float32))
 
     x, (k_pref, v_pref) = jax.lax.scan(prefill_body, x, params["layers"])

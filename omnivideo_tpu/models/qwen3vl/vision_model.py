@@ -44,6 +44,9 @@ class Qwen3VLVisionConfig:
     num_position_embeddings: int = 2304
     deepstack_visual_indexes: Tuple[int, ...] = (8, 16, 24)
     hidden_act: str = "gelu_pytorch_tanh"
+    # segmented attention: "auto" (flash kernel on TPU — never materializes
+    # the [t, N, hw, hw] f32 logits), "flash", "flash_interpret", "dense"
+    attn_impl: str = "auto"
 
     @property
     def head_dim(self):
@@ -147,8 +150,11 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
     (L = t·h·w); grid_thw: static (t, h, w) patch grid.
     Returns (tokens [L/merge², out_hidden], deepstack list of same shape).
     """
+    from .text_model import _flash_mode
+
     t, h, w = grid_thw
     m = cfg.spatial_merge_size
+    use_flash, interp = _flash_mode(cfg.attn_impl)
     x = patches @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
 
     idx, wgt = _pos_interp_plan(h, w, cfg.num_grid_per_side)
@@ -185,9 +191,15 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
         qs = q.reshape(t, hw, N, hd)
         ks = k.reshape(t, hw, N, hd)
         vs = v.reshape(t, hw, N, hd)
-        logits = jnp.einsum("bind,bjnd->bnij", qs, ks, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * (hd**-0.5), axis=-1).astype(vs.dtype)
-        o = jnp.einsum("bnij,bjnd->bind", probs, vs, preferred_element_type=jnp.float32)
+        if use_flash:
+            from ...ops.pallas.flash_attention import flash_attention_infer
+
+            o = flash_attention_infer(qs, ks, vs, interpret=interp)
+            o = o.astype(x.dtype)
+        else:
+            logits = jnp.einsum("bind,bjnd->bnij", qs, ks, preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(logits * (hd**-0.5), axis=-1).astype(vs.dtype)
+            o = jnp.einsum("bnij,bjnd->bind", probs, vs, preferred_element_type=jnp.float32)
         o = _lin(bp, "proj_w", o.astype(x.dtype).reshape(L, N * hd)) + bp["proj_b"]
         x = x + o
         hn = _ln(x, bp["norm2"])

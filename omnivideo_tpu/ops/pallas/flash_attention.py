@@ -50,6 +50,8 @@ def _fa_kernel(
     grid4: bool = False,  # packed path: grid (B, N, q, kv); kv_lens is [B]
     static_max: bool = False,  # bounded softmax: no running max / rescale
     n_heads: int = 1,  # for indexing the flat [B*N] bound array on grid4
+    causal: bool = False,  # token-causal (LM prefill): col <= row
+    block_q: int = 0,  # q rows per block (causal diagonal arithmetic)
 ):
     if static_max:
         mbound_ref, q_ref, k_ref, v_ref, o_ref, *refs = rest
@@ -78,6 +80,7 @@ def _fa_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     block_start = kv_i * block_k
+    q_start = pl.program_id(2 if grid4 else 1) * block_q if causal else None
 
     def _compute(masked: bool):
         k = k_ref[0]  # [BK, D]
@@ -105,6 +108,10 @@ def _fa_kernel(
         if masked:  # mask kv positions past the valid length
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + block_start
             s = jnp.where(col < kv_len, s, NEG_INF)
+            if causal:  # token causality: this block straddles the diagonal
+                row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                       + q_start)
+                s = jnp.where(col <= row, s, NEG_INF)
 
         if static_max:
             # bounded softmax (measured +MXU on v5e): the caller supplies a
@@ -138,12 +145,20 @@ def _fa_kernel(
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
     # interior blocks skip the iota/where masking work entirely; only the
-    # boundary block (straddling kv_len) pays for it
-    @pl.when(block_start + block_k <= kv_len)
+    # boundary block (straddling kv_len and, when causal, the diagonal)
+    # pays for it. Causal additionally SKIPS blocks entirely above the
+    # diagonal — at bq == bk that halves the executed kv steps.
+    full_c = block_start + block_k <= kv_len
+    live_c = block_start < kv_len
+    if causal:
+        full_c = jnp.logical_and(full_c, block_start + block_k <= q_start + 1)
+        live_c = jnp.logical_and(live_c, block_start < q_start + block_q)
+
+    @pl.when(full_c)
     def _full():
         _compute(masked=False)
 
-    @pl.when(jnp.logical_and(block_start < kv_len, block_start + block_k > kv_len))
+    @pl.when(jnp.logical_and(live_c, jnp.logical_not(full_c)))
     def _boundary():
         _compute(masked=True)
 
@@ -191,7 +206,7 @@ def _pick_block_k(Lk: int, block_k: int) -> int:
 
 
 def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
-                        static_max=False, qk_row_norms=None):
+                        static_max=False, qk_row_norms=None, causal=False):
     """Inference forward with NO layout work at all.
 
     The [B, L, N, D] inputs are viewed as packed [B, L, N·D] (a free,
@@ -255,7 +270,7 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         # scalar compare at run time, both kernels compiled once per shape).
         safe = (2.0 * jnp.max(bound_f) + 2.0) < 120.0
 
-    xattn_single = Lk_r > block_k and Lk_r <= 8192
+    xattn_single = Lk_r > block_k and Lk_r <= 8192 and not causal
     if xattn_single and static_max:
         # bounded softmax has NO per-step rescale, so multi-step KV costs
         # only l_scr updates — and a divisor bk frees VMEM for much wider q
@@ -306,7 +321,7 @@ def _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         kernel = functools.partial(
             _fa_kernel, scale=float(scale), block_k=bk, kv_steps=kv_steps,
             with_lse=False, zero_oob_v=True, grid4=packed, static_max=static,
-            n_heads=N,
+            n_heads=N, causal=causal, block_q=bq,
         )
         # ops = (lens, mb?, q3, k3, v3); the max-tracked branch drops mb
         in_ops = ops if static or len(ops) == 4 else (ops[0],) + ops[2:]
@@ -363,6 +378,7 @@ def _flash_fwd_impl(
     with_lse: bool = False,
     assume_normalized: bool = False,
     qk_row_norms=None,
+    causal: bool = False,
 ):
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
@@ -380,7 +396,8 @@ def _flash_fwd_impl(
         # enables the bounded-softmax kernel: no running max / alpha rescale.
         return _flash_fwd_unpadded(q, k, v, kv_lens, scale, block_q, block_k,
                                    interpret, static_max=assume_normalized,
-                                   qk_row_norms=qk_row_norms)
+                                   qk_row_norms=qk_row_norms, causal=causal)
+    assert not causal, "causal is inference-only (no VJP path)"
 
     bq = min(block_q, _round_up(Lq, 128))
     bk = _pick_block_k(Lk, block_k)
@@ -573,14 +590,18 @@ def flash_attention_infer(
     interpret: bool = False,
     assume_normalized: bool = False,
     qk_row_norms=None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Inference-only flash attention (NOT differentiable — no custom_vjp):
     identical numerics to `flash_attention`, plus `qk_row_norms=(qn, kn)`
     [B, N] f32 upper bounds from the fused qk-prep kernel so the bounded-
-    softmax dispatch skips its two full q/k HBM reads."""
+    softmax dispatch skips its two full q/k HBM reads, and `causal=True`
+    token causality (LM prefill: col <= row; blocks above the diagonal are
+    skipped, the straddling block is masked — no [L, L] logits ever
+    materialize, unlike the dense-softmax form)."""
     return _flash_fwd_impl(q, k, v, kv_lens, softmax_scale, block_q, block_k,
                            interpret, assume_normalized=assume_normalized,
-                           qk_row_norms=qk_row_norms)
+                           qk_row_norms=qk_row_norms, causal=causal)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))

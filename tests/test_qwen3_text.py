@@ -220,3 +220,39 @@ def test_qwen3_forward_sp_hybrid_2d():
     _, ref = qwen3_forward(params, cfg, ids)
     _, sp = qwen3_forward_sp(params, cfg, ids, mesh, ulysses_axis="fsdp")
     np.testing.assert_allclose(np.asarray(sp), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_prefill_matches_dense(dense):
+    """attn_impl=flash_interpret (the causal flash kernel) is numerics-
+    equivalent to the dense-softmax path — the TPU serving prefill never
+    materializes [B, N, L, L] logits."""
+    import dataclasses
+
+    m, cfg = dense
+    params = hf_to_params(_sd_np(m), cfg)
+    ids = torch.randint(0, 96, (1, 24),
+                        generator=torch.Generator().manual_seed(7))
+    ids = jnp.asarray(ids.numpy())
+    _, ref = qwen3_forward(params, dataclasses.replace(cfg, attn_impl="dense"),
+                           ids)
+    _, out = qwen3_forward(
+        params, dataclasses.replace(cfg, attn_impl="flash_interpret"), ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_greedy_decode_matches_dense(dense):
+    """Flash prefill + cached decode emits the same tokens as dense."""
+    import dataclasses
+
+    m, cfg = dense
+    params = hf_to_params(_sd_np(m), cfg)
+    prompt = torch.randint(0, 96, (1, 9),
+                           generator=torch.Generator().manual_seed(8))
+    prompt = jnp.asarray(prompt.numpy())
+    ref = qwen3_greedy_decode(
+        params, dataclasses.replace(cfg, attn_impl="dense"), prompt, 6)
+    out = qwen3_greedy_decode(
+        params, dataclasses.replace(cfg, attn_impl="flash_interpret"),
+        prompt, 6)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

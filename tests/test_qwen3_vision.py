@@ -67,3 +67,29 @@ def test_vision_tower_parity(tiny, grid):
     assert len(deep) == len(ref_deep) == 2
     for a, b in zip(deep, ref_deep):
         np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=3e-4, atol=3e-4)
+
+
+def test_vision_flash_matches_dense(tiny):
+    """attn_impl=flash_interpret (segments batched through the flash kernel,
+    head-major path at head_dim 16) equals the dense segmented softmax."""
+    import dataclasses
+
+    m, cfg = tiny
+    t, h, w = 2, 6, 4
+    L = t * h * w
+    patch_dim = cfg.in_channels * cfg.temporal_patch_size * cfg.patch_size**2
+    g = torch.Generator().manual_seed(3)
+    patches = jnp.asarray(torch.randn(L, patch_dim, generator=g).numpy())
+    params = vision_hf_to_params(
+        {k: v.numpy() for k, v in m.state_dict().items()}, cfg
+    )
+    ref_tokens, ref_deep = vision_forward(
+        params, dataclasses.replace(cfg, attn_impl="dense"), patches, (t, h, w))
+    tokens, deep = vision_forward(
+        params, dataclasses.replace(cfg, attn_impl="flash_interpret"),
+        patches, (t, h, w))
+    np.testing.assert_allclose(np.asarray(tokens), np.asarray(ref_tokens),
+                               rtol=2e-3, atol=2e-3)
+    for a, b in zip(deep, ref_deep):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
