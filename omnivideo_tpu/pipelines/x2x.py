@@ -480,6 +480,11 @@ class OmniVideoX2XUnified:
         if not decode:
             return latents
         assert self.vae is not None, "no VAE attached"
+        # layer-stream mode: denoising is over, so the executors'
+        # residentized device block copies (up to 1.4 GB/expert) are dead
+        # weight — the 480p·81f VAE decode OOMed with them held
+        for _, ex in self._stream.values():
+            ex.release()
         # vae_dtype=bf16 runs the decoder convs on the bf16 MXU path (~2x);
         # output is cast back to f32 before [-1,1] clamping either way
         video = (self.vae.decode(latents, dtype=vae_dtype) if vae_dtype is not None
