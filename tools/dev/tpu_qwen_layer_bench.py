@@ -39,6 +39,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--seq", type=int, default=4096)
+    ap.add_argument("--moe_impl", default="ragged",
+                    choices=["ragged", "megablox", "dense"],
+                    help="grouped-GEMM backend A/B (text_model._moe)")
+    ap.add_argument("--attn_impl", default="auto",
+                    choices=["auto", "flash", "flash_interpret", "dense"])
+    ap.add_argument("--key_suffix", default="",
+                    help="suffix for PHASE_JSON keys (A/B runs that must "
+                         "not overwrite the tuned-default keys)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: tiny dims, forces the cpu platform")
     args = ap.parse_args()
@@ -56,6 +64,7 @@ def main():
             hidden_size=64, intermediate_size=128, num_hidden_layers=2,
             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
             num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+            moe_impl=args.moe_impl, attn_impl=args.attn_impl,
         )
         args.seq = min(args.seq, 64)
     else:
@@ -63,6 +72,7 @@ def main():
             hidden_size=2048, intermediate_size=6144, num_hidden_layers=48,
             num_attention_heads=32, num_key_value_heads=4, head_dim=128,
             num_experts=128, num_experts_per_tok=8, moe_intermediate_size=768,
+            moe_impl=args.moe_impl, attn_impl=args.attn_impl,
         )
     D, N, K, hd = (cfg.hidden_size, cfg.num_attention_heads,
                    cfg.num_key_value_heads, cfg.head_dim)
@@ -124,11 +134,12 @@ def main():
     moe = L * cfg.num_experts_per_tok * (2 * D * M * 2 + 2 * M * D)
     router = 2 * L * D * E
     fl = attn_proj + attn + moe + router
+    sfx = args.key_suffix
     out = {
-        "qwen30b_text_layer_prefill4k_ms": round(t_layer * 1e3, 2),
-        "qwen30b_text_layer_mxu": round(fl / t_layer / peak, 3),
-        "qwen30b_text_layer_compile_s": round(compile_s, 1),
-        "qwen30b_step_prefill4k_derived_s": round(
+        f"qwen30b_text_layer_prefill4k_ms{sfx}": round(t_layer * 1e3, 2),
+        f"qwen30b_text_layer_mxu{sfx}": round(fl / t_layer / peak, 3),
+        f"qwen30b_text_layer_compile_s{sfx}": round(compile_s, 1),
+        f"qwen30b_step_prefill4k_derived_s{sfx}": round(
             t_layer * cfg.num_hidden_layers, 3),
     }
     emit(dict(out))
@@ -155,8 +166,8 @@ def main():
     t0 = time.perf_counter()
     float(decode_reps(lp, x1, kc, vc))
     t_dec = (time.perf_counter() - t0) / 64
-    out["qwen30b_text_layer_decode_us"] = round(t_dec * 1e6, 1)
-    out["qwen30b_decode_tok_s_derived"] = round(
+    out[f"qwen30b_text_layer_decode_us{sfx}"] = round(t_dec * 1e6, 1)
+    out[f"qwen30b_decode_tok_s_derived{sfx}"] = round(
         1.0 / (t_dec * cfg.num_hidden_layers), 1)
     emit(dict(out))
     del lp, x, kc, vc
@@ -171,7 +182,8 @@ def main():
             intermediate_size=128, num_heads=4, out_hidden_size=64)
         t, h, w = 2, 4, 4
     else:
-        vcfg = Qwen3VLVisionConfig(depth=1, deepstack_visual_indexes=())
+        vcfg = Qwen3VLVisionConfig(depth=1, deepstack_visual_indexes=(),
+                                   attn_impl=args.attn_impl)
         t, h, w = 8, 40, 40
     Lv = t * h * w
     Din = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
@@ -226,8 +238,8 @@ def main():
     # h*w tokens)
     vfl = (2 * Lv * Dv * 3 * Dv + 2 * Lv * Dv * Dv + 2 * Lv * Dv * Mv * 2
            + 2 * 2 * Nv * t * (h * w) ** 2 * vcfg.head_dim)
-    out["qwen30b_vision_block_ms"] = round(t_vis * 1e3, 2)
-    out["qwen30b_vision_block_mxu"] = round(vfl / t_vis / peak, 3)
+    out[f"qwen30b_vision_block_ms{sfx}"] = round(t_vis * 1e3, 2)
+    out[f"qwen30b_vision_block_mxu{sfx}"] = round(vfl / t_vis / peak, 3)
     emit(dict(out))
     print(json.dumps(out))
 
