@@ -485,6 +485,20 @@ class OmniVideoX2XUnified:
         # weight — the 480p·81f VAE decode OOMed with them held
         for _, ex in self._stream.values():
             ex.release()
+        if self.layer_stream:
+            # drop cached jit executables too: the dim-5120 denoise programs
+            # pin their device constants; decode recompiles from the
+            # persistent XLA cache
+            jax.clear_caches()
+            try:
+                ms = jax.devices()[0].memory_stats() or {}
+                log.info("HBM before decode: in_use=%.2f GB peak=%.2f GB "
+                         "limit=%.2f GB",
+                         ms.get("bytes_in_use", 0) / 1e9,
+                         ms.get("peak_bytes_in_use", 0) / 1e9,
+                         ms.get("bytes_limit", 0) / 1e9)
+            except Exception:  # memory_stats unsupported on some backends
+                pass
         # vae_dtype=bf16 runs the decoder convs on the bf16 MXU path (~2x);
         # output is cast back to f32 before [-1,1] clamping either way
         video = (self.vae.decode(latents, dtype=vae_dtype) if vae_dtype is not None
