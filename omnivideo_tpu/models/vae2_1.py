@@ -28,6 +28,7 @@ semantics; we implement only it.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -307,6 +308,7 @@ def _zero_cache_like(tree):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnums=(1, 4), static_argnames=("dtype",))
 def vae_encode(
     params,
     cfg: VAEConfig,
@@ -355,6 +357,7 @@ def vae_encode(
     return mu.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 4), static_argnames=("dtype",))
 def vae_decode(
     params,
     cfg: VAEConfig,
@@ -363,7 +366,12 @@ def vae_decode(
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Decode latents [B, z, t, h, w] → video [B, 3, 1+4(t−1), H, W], clamped
-    to [-1, 1] (reference WanVAE_.decode, vae2_1.py:543-567)."""
+    to [-1, 1] (reference WanVAE_.decode, vae2_1.py:543-567).
+
+    Jitted WHOLE: run eagerly, the chunk scan + transpose/concat staging
+    materializes every intermediate and the 480p·81f decode exceeds HBM
+    (measured: the jitted form fits with >8 GB to spare, the eager form
+    OOMs in a fresh process); under jit XLA plans and frees buffers."""
     z = z.astype(dtype)
     if scale is not None:
         mean, inv_std = scale

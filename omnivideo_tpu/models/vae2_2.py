@@ -22,6 +22,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -267,6 +269,7 @@ def decoder_chunk22(params, cfg: VAE22Config, z, cache, first: bool):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnums=(1, 4), static_argnames=("dtype",))
 def vae22_encode(params, cfg: VAE22Config, videos, scale=None, dtype=jnp.float32):
     """[B, 3, T, H, W] (T = 1+4k) → normalized latents (vae2_2.py:782-809)."""
     x = patchify_pixels(videos.astype(dtype), cfg.patch_size)
@@ -300,6 +303,7 @@ def vae22_encode(params, cfg: VAE22Config, videos, scale=None, dtype=jnp.float32
     return mu.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 4), static_argnames=("dtype",))
 def vae22_decode(params, cfg: VAE22Config, z, scale=None, dtype=jnp.float32):
     """latents → video [B, 3, 1+4(t−1), H, W] clamped (vae2_2.py:811-840)."""
     z = z.astype(dtype)
