@@ -59,8 +59,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 # chip queue warmed the cache) skip the 20-40 s TPU compiles. Inlined (not
 # utils.compile_cache) so the orchestrator process stays jax-free.
 if os.environ.get("OMNIVIDEO_COMPILE_CACHE", "1").lower() not in ("0", "false"):
+    # repo-side dir: /tmp is wiped on VM restarts (observed mid-round-4),
+    # which would cold-start every compile in the driver's bench window
+    _cache_default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  ".jax_cache")
     os.makedirs(os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                                      "/tmp/omnivideo_jax_cache"), exist_ok=True)
+                                      _cache_default), exist_ok=True)
 
 import numpy as np
 

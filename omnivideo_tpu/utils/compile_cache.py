@@ -22,7 +22,11 @@ from __future__ import annotations
 import os
 import sys
 
-DEFAULT_DIR = "/tmp/omnivideo_jax_cache"
+# repo-side (not /tmp): /tmp is wiped on a VM restart, and a cold cache
+# turns every phase's 20-40 s warm compile back into minutes
+DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache")
 
 ENV_DISABLE = "OMNIVIDEO_COMPILE_CACHE"        # "0"/"false" disables
 ENV_DIR = "OMNIVIDEO_COMPILE_CACHE_DIR"        # overrides the directory

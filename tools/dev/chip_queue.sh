@@ -17,7 +17,7 @@ cd "$(dirname "$0")/../.."
 mkdir -p /tmp/chipq
 # shared persistent XLA compile cache: each step is its own subprocess, so
 # without this every step repays the 20-40 s TPU compiles of shared programs
-export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/omnivideo_jax_cache}
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$(cd "$(dirname "$0")/../.." && pwd)/.jax_cache}
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 START=${1:-1}
 GATE_BUDGET=${GATE_BUDGET:-2700}   # max seconds to wait for a healthy tunnel

@@ -7,7 +7,7 @@
 set -u
 cd "$(dirname "$0")/../.."
 mkdir -p /tmp/chipq
-export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/omnivideo_jax_cache}
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$(cd "$(dirname "$0")/../.." && pwd)/.jax_cache}
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 START=${1:-1}
 GATE_BUDGET=${GATE_BUDGET:-2700}
