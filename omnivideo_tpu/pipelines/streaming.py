@@ -52,13 +52,17 @@ from ..models.wan_dit import (
 
 @functools.lru_cache(maxsize=8)
 def _block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str = "auto",
-                  ew_impl: str = "auto"):
-    """One jitted block function per (cfg, attn_impl, qk_impl, ew_impl) —
-    shared across executor instances so a benchmark that builds several
-    executors over the same config pays the dim-5120 block compile once."""
+                  ew_impl: str = "auto", quant: Optional[str] = None):
+    """One jitted block function per (cfg, attn_impl, qk_impl, ew_impl,
+    quant) — shared across executor instances so a benchmark that builds
+    several executors over the same config pays the dim-5120 block compile
+    once."""
 
     @jax.jit
     def apply(bp, x, aux):
+        if quant:
+            from ..ops.quant import dequantize_block
+            bp = dequantize_block(bp)
         return wan_block_apply(bp, x, aux, cfg, attn_impl=attn_impl,
                                qk_impl=qk_impl, ew_impl=ew_impl)
 
@@ -113,10 +117,15 @@ class BlockPacker:
 
 @functools.lru_cache(maxsize=8)
 def _packed_block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str,
-                         ew_impl: str, packer: BlockPacker):
+                         ew_impl: str, packer: BlockPacker,
+                         quant: Optional[str] = None):
     @jax.jit
     def apply(bufs, x, aux):
-        return wan_block_apply(packer.unpack(bufs), x, aux, cfg,
+        bp = packer.unpack(bufs)
+        if quant:
+            from ..ops.quant import dequantize_block
+            bp = dequantize_block(bp)
+        return wan_block_apply(bp, x, aux, cfg,
                                attn_impl=attn_impl, qk_impl=qk_impl,
                                ew_impl=ew_impl)
 
@@ -145,12 +154,28 @@ class BlockStreamingExecutor:
         device=None,
         packed: bool = False,
         residentize: bool = True,
+        quant: Optional[str] = None,
     ):
         assert window >= 1
+        assert quant in (None, "int8"), quant
         self.cfg = cfg
         self.host_blocks = list(host_blocks)
         self.window = window
         self.device = device or jax.devices()[0]
+        self.quant = quant
+        if quant:
+            # weight-only int8 on the large matmul kernels (ops/quant.py):
+            # halves the bytes every streamed dispatch moves host->HBM.
+            # Quantization preserves aliasing (shared smoke/bench blocks
+            # quantize once) and happens BEFORE packing, so the packer's
+            # per-dtype flat buffers see int8 payload + f32 scales natively.
+            from ..ops.quant import quantize_block
+            qcache: dict = {}
+            for idx, blk in enumerate(self.host_blocks):
+                key = id(blk)
+                if key not in qcache:
+                    qcache[key] = quantize_block(blk)
+                self.host_blocks[idx] = qcache[key]
         if packed:
             # host numpy stacks only (packing a device-resident schedule
             # would pull it back to host). Aliased entries pack once.
@@ -162,9 +187,10 @@ class BlockStreamingExecutor:
                     packed_cache[key] = self._packer.pack(blk)
                 self.host_blocks[idx] = packed_cache[key]
             self._block_fn = _packed_block_fn_for(
-                cfg, attn_impl, qk_impl, ew_impl, self._packer)
+                cfg, attn_impl, qk_impl, ew_impl, self._packer, quant)
         else:
-            self._block_fn = _block_fn_for(cfg, attn_impl, qk_impl, ew_impl)
+            self._block_fn = _block_fn_for(cfg, attn_impl, qk_impl, ew_impl,
+                                           quant)
         # schedules built from <=2 distinct blocks repeated many times
         # (aliased random-weight smokes, bench variant rings) fit HBM as
         # device residents — transfer each distinct block ONCE (lazily) and

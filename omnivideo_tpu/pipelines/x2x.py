@@ -87,6 +87,8 @@ class OmniVideoX2XUnified:
         qk_impl: str = "auto",  # fused norm+rope+bound prologue; "auto" =
         # measured winner for this width (ops/tuning.py tuned table)
         ew_impl: str = "auto",  # fused AdaLN sandwich kernel; "auto" as above
+        stream_quant: Optional[str] = None,  # "int8": weight-only quantized
+        # block streaming (ops/quant.py) — halves host->HBM bytes per block
     ):
         self.config = config
         self.low_noise = low_noise
@@ -128,7 +130,8 @@ class OmniVideoX2XUnified:
                                            attn_impl=attn_impl,
                                            qk_impl=qk_impl,
                                            ew_impl=ew_impl,
-                                           packed=True),
+                                           packed=True,
+                                           quant=stream_quant),
                 )
 
     # ------------------------------------------------------------------

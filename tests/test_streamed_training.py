@@ -240,3 +240,51 @@ def test_streamed_lora_matches_monolithic_lora():
     full = st.export_params(s)
     assert "blocks" in full and full["blocks"]["self_attn"]["q"][
         "lora_a"].shape[0] == CFG.dit.num_layers
+
+
+def test_streamed_lora_int8_base_quant():
+    """base_quant="int8" (the QLoRA recipe: frozen base streams as int8 +
+    per-column scales, adapters train full-precision): the step runs, the
+    loss tracks the full-precision streamed LoRA step to weight-quantization
+    accuracy, adapters actually move, and the stored host base is untouched
+    (quantization lives only in the transfer path)."""
+    from omnivideo_tpu.training.lora import LORA_FILTERS, inject_lora
+    from omnivideo_tpu.training.streaming import StreamedLoRATrainer
+
+    tc = TrainConfig(cfg_dropout=0.0, remat=True, warmup_steps=1,
+                     total_steps=10, learning_rate=1e-3, grad_clip=0.1,
+                     optimizer="adamw", trainable_filters=LORA_FILTERS)
+    params = init_wan_dit(jax.random.PRNGKey(0), CFG.dit, dtype=jnp.bfloat16)
+    hk = params["head"]["head"]["kernel"]
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(9), hk.shape, jnp.float32) * 0.02
+    ).astype(hk.dtype)
+    params = inject_lora(params, jax.random.PRNGKey(7), rank=4)
+    batch = _batch()
+
+    ref = StreamedLoRATrainer(CFG, tc, attn_impl="xla", act_offload=True)
+    qt = StreamedLoRATrainer(CFG, tc, attn_impl="xla", act_offload=True,
+                             base_quant="int8")
+    sr, sq = ref.init_state(params), qt.init_state(params)
+    lora0 = jax.tree_util.tree_map(np.asarray, sq.lora)
+    for k in range(2):
+        rng = jax.random.PRNGKey(100 + k)
+        sr, mr = ref.train_step(sr, batch, rng)
+        sq, mq = qt.train_step(sq, batch, rng)
+        assert np.isfinite(float(mq["loss"]))
+        np.testing.assert_allclose(float(mq["loss"]), float(mr["loss"]),
+                                   rtol=0.1)
+    # adapters moved
+    moved = [np.abs(np.asarray(a) - b).max()
+             for a, b in zip(jax.tree_util.tree_leaves(sq.lora),
+                             jax.tree_util.tree_leaves(lora0))]
+    assert max(moved) > 0
+    # host base untouched by the quantized transfer path
+    for (a, b) in zip(jax.tree_util.tree_leaves(sq.host_blocks),
+                      jax.tree_util.tree_leaves(sr.host_blocks)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # int8 payload actually streams (~half bytes)
+    from omnivideo_tpu.ops.quant import quantized_bytes
+    assert qt._base_packed and (
+        sum(v.nbytes for v in qt._base_packed[0].values())
+        < 0.65 * quantized_bytes(sq.host_blocks[0]))

@@ -149,3 +149,61 @@ def test_streamed_aliased_blocks_single_compile():
     ex2 = BlockStreamingExecutor(cfg, [blocks[1]] * 2, window=1,
                                  attn_impl="xla")
     assert ex2._block_fn is ex._block_fn
+
+
+def test_int8_quant_error_bound():
+    """Symmetric per-output-channel int8: max abs error per weight is
+    bounded by scale/2 = column_amax/254 (ops/quant.py)."""
+    from omnivideo_tpu.ops.quant import (dequantize_block, is_q8_leaf,
+                                         quantize_block, quantized_bytes)
+
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((128, 96)) * 0.04).astype(jnp.bfloat16)
+    block = {"attn": {"kernel": w}, "gain": np.ones((96,), np.float32)}
+    qb = quantize_block(block, min_size=1024)
+    assert is_q8_leaf(qb["attn"]["kernel"])
+    assert qb["gain"] is block["gain"]  # small f32 leaves pass through
+    # int8 payload + f32 scales ~= 0.5x the bf16 kernel bytes
+    assert quantized_bytes(qb) < 0.75 * quantized_bytes(block)
+    back = np.asarray(dequantize_block(qb)["attn"]["kernel"], np.float32)
+    ref = np.asarray(w, np.float32)
+    amax = np.abs(ref).max(axis=0)
+    # bound: quant step/2 plus the bf16 rounding of the dequantized product
+    bound = amax / 254.0 + np.abs(ref) * 2 ** -8
+    assert (np.abs(back - ref) <= bound + 1e-9).all()
+
+
+def test_streamed_int8_quant_close_to_exact():
+    """quant="int8" executor: output tracks the full-precision forward to
+    weight-quantization accuracy, with ~half the streamed bytes; packed and
+    per-leaf quantized schedules agree exactly."""
+    from omnivideo_tpu.ops.quant import quantized_bytes
+
+    cfg = WanDiTConfig(
+        patch_size=(1, 2, 2), text_len=16, in_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=48, out_dim=4, num_heads=4, num_layers=3,
+    )
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params["head"]["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["kernel"].shape) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 8, 8))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 48))
+    ref = wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla")
+    resident, blocks = split_host_params(params)
+
+    ex_q = BlockStreamingExecutor(cfg, blocks, window=2, attn_impl="xla",
+                                  quant="int8")
+    out_q = wan_dit_stream_apply(resident, ex_q, cfg, x, t, ctx)
+    r, o = np.asarray(ref, np.float32), np.asarray(out_q, np.float32)
+    # weight-only int8 deviation stays small but nonzero (quant engaged)
+    assert np.abs(o - r).max() > 0
+    assert np.abs(o - r).max() <= 0.05 * max(np.abs(r).max(), 1.0)
+    # payload halves (int8 kernels + f32 scales vs bf16 kernels)
+    assert (quantized_bytes(ex_q.host_blocks[0])
+            < 0.65 * quantized_bytes(blocks[0]))
+
+    ex_qp = BlockStreamingExecutor(cfg, blocks, window=2, attn_impl="xla",
+                                   quant="int8", packed=True)
+    out_qp = wan_dit_stream_apply(resident, ex_qp, cfg, x, t, ctx)
+    np.testing.assert_array_equal(np.asarray(out_qp), np.asarray(out_q))

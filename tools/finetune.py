@@ -97,6 +97,10 @@ def parse_args():
                         "training of stacks larger than device memory, e.g. "
                         "A14B on 16 GB; plain flow-match objective — "
                         "training/streaming.py)")
+    p.add_argument("--stream_quant", default=None, choices=[None, "int8"],
+                   help="with --layer_stream --lora_rank: stream the FROZEN "
+                        "base weight-only int8 (QLoRA recipe, ops/quant.py) "
+                        "— halves the dominant h2d bytes per block")
     p.add_argument("--dummy_data", action="store_true")
     p.add_argument("--with_aligned", action="store_true",
                    help="dummy data includes v1 aligned_emb features")
@@ -260,10 +264,13 @@ def main():
             # (A14B LoRA finetune on one 16 GB chip)
             from omnivideo_tpu.training.streaming import StreamedLoRATrainer
 
-            streamer = StreamedLoRATrainer(cfg, tc, attn_impl=attn_impl)
+            streamer = StreamedLoRATrainer(cfg, tc, attn_impl=attn_impl,
+                                           base_quant=args.stream_quant)
         else:
             from omnivideo_tpu.training.streaming import StreamedTrainer
 
+            assert args.stream_quant is None, \
+                "--stream_quant needs --lora_rank (the base must be frozen)"
             streamer = StreamedTrainer(cfg, tc, attn_impl=attn_impl)
         state = streamer.init_state(params["wan"])
         train_step = streamer.train_step

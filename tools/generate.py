@@ -63,6 +63,10 @@ def parse_args():
                    help="stream DiT blocks host->HBM per step (single-chip "
                         "deployment for experts larger than device memory, "
                         "e.g. A14B on 16 GB; pipelines/streaming.py)")
+    p.add_argument("--stream_quant", default=None, choices=[None, "int8"],
+                   help="with --layer_stream: weight-only int8 on the "
+                        "streamed block kernels (ops/quant.py) — halves the "
+                        "host->HBM bytes per block on transfer-bound links")
     p.add_argument("--vae_dtype", default=None, choices=[None, "float32", "bfloat16"],
                    help="decoder compute dtype (bfloat16 ~2x decode throughput)")
     p.add_argument("--max_steps_per_call", type=int, default=None,
@@ -181,8 +185,10 @@ def main():
     if args.layer_stream:
         assert sp is None and mesh is None, \
             "--layer_stream is the single-device path (no sp/fsdp/tp)"
+    if args.stream_quant:
+        assert args.layer_stream, "--stream_quant requires --layer_stream"
     impl_kw = dict(layer_stream=args.layer_stream, qk_impl=args.qk_impl,
-                   ew_impl=args.ew_impl)
+                   ew_impl=args.ew_impl, stream_quant=args.stream_quant)
     if args.random_weights:
         pipe = OmniVideoX2XUnified.random_init(
             cfg, attn_impl=args.attn_impl, **impl_kw)
