@@ -513,6 +513,36 @@ def bench_a14b_stream(budget_s: float = 700.0):
     out["a14b_stream_overlap"] = round(
         n_stream * per / t_sub, 3) if t_sub > 0 else None
     _phase_emit(dict(out))
+    del ex
+
+    # --- int8 streamed pass: weight-only quantized blocks (ops/quant.py,
+    # --stream_quant int8) — ~0.5x the h2d payload per dispatch; dequant
+    # rides inside the block jit. On the transfer-bound tunnel this nearly
+    # halves the streamed step; on a PCIe host it halves the bandwidth
+    # needed to hide the transfer entirely.
+    if left() > 90:
+        # warm the quantized block jit outside the timed region (1 block)
+        ex_w = BlockStreamingExecutor(cfg, [host_block], window=1,
+                                      device=dev, packed=True,
+                                      residentize=False, quant="int8")
+        q8_bytes = sum(v.nbytes for v in ex_w.host_blocks[0].values())
+        out["a14b_stream_q8_block_gb"] = round(q8_bytes / 1e9, 2)
+        float(jnp.sum(ex_w.run_blocks(h0, aux)))
+        _phase_emit(dict(out))
+        per_q = max(t_h2d_pk * q8_bytes / blk_bytes, t_block)
+        n_q = int(max(4, min(nl, (left() - 30.0) / max(per_q, 1e-3))))
+        ex_q = BlockStreamingExecutor(cfg, [host_block] * n_q, window=2,
+                                      device=dev, packed=True,
+                                      residentize=False, quant="int8")
+        t_q = _timed(lambda: float(jnp.sum(ex_q.run_blocks(h0, aux))),
+                     n=1, warm=0)
+        out["a14b_stream_q8_n_blocks"] = n_q
+        key_q = ("a14b_stream_q8_step_s" if n_q == nl
+                 else "a14b_stream_q8_step_extrap_s")
+        out[key_q] = round(t_q * nl / n_q, 2)
+        out["a14b_stream_q8_overlap"] = round(
+            n_q * per_q / t_q, 3) if t_q > 0 else None
+        _phase_emit(dict(out))
     return out
 
 
