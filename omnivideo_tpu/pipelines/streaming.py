@@ -115,6 +115,34 @@ class BlockPacker:
         return jax.tree_util.tree_unflatten(self.treedef, leaves)
 
 
+@functools.lru_cache(maxsize=16)
+def _group_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str,
+                  ew_impl: str, quant: Optional[str], group: int,
+                  packer: Optional[BlockPacker] = None):
+    """Jitted fn applying `group` consecutive blocks in ONE dispatch.
+
+    Each executor dispatch pays the host->device dispatch round trip; over
+    a tunnel-attached chip that latency (~10-30 ms) x 40 blocks is real
+    step time. Grouping amortizes it group-fold; the blocks arrive as a
+    tuple of param pytrees (identical shapes -> one compile per group
+    size), unrolled inside the jit so XLA also gets cross-block fusion
+    opportunities at the residual boundaries."""
+
+    @jax.jit
+    def apply(bps, x, aux):
+        if packer is not None:
+            bps = tuple(packer.unpack(b) for b in bps)
+        if quant:
+            from ..ops.quant import dequantize_block
+            bps = tuple(dequantize_block(bp) for bp in bps)
+        for bp in bps:
+            x = wan_block_apply(bp, x, aux, cfg, attn_impl=attn_impl,
+                                qk_impl=qk_impl, ew_impl=ew_impl)
+        return x
+
+    return apply
+
+
 @functools.lru_cache(maxsize=8)
 def _packed_block_fn_for(cfg: WanDiTConfig, attn_impl: str, qk_impl: str,
                          ew_impl: str, packer: BlockPacker,
@@ -155,14 +183,20 @@ class BlockStreamingExecutor:
         packed: bool = False,
         residentize: bool = True,
         quant: Optional[str] = None,
+        group: int = 1,
     ):
-        assert window >= 1
+        assert window >= 1 and group >= 1
         assert quant in (None, "int8"), quant
         self.cfg = cfg
         self.host_blocks = list(host_blocks)
         self.window = window
         self.device = device or jax.devices()[0]
         self.quant = quant
+        # group>1: dispatch `group` consecutive blocks per jit call —
+        # amortizes per-dispatch latency (the dominant non-compute cost of
+        # a 40-dispatch schedule on a tunnel-attached chip)
+        self.group = group
+        self._impls = (attn_impl, qk_impl, ew_impl)
         if quant:
             # weight-only int8 on the large matmul kernels (ops/quant.py):
             # halves the bytes every streamed dispatch moves host->HBM.
@@ -223,22 +257,39 @@ class BlockStreamingExecutor:
             lambda a: jax.device_put(a, self.device), blk
         )
 
+    def _fn_for_size(self, m: int):
+        """Jitted dispatch fn for a run of `m` consecutive blocks (m=1 with
+        group=1 keeps the original shared single-block entries)."""
+        if m == 1 and self.group == 1:
+            return lambda bps, h, aux: self._block_fn(bps[0], h, aux)
+        attn_impl, qk_impl, ew_impl = self._impls
+        fn = _group_fn_for(self.cfg, attn_impl, qk_impl, ew_impl,
+                           self.quant, m, getattr(self, "_packer", None))
+        return fn
+
     def run_blocks(self, h: jnp.ndarray, aux: WanAuxInputs) -> jnp.ndarray:
         """h: [B, L, dim] f32 token stream → after all blocks."""
         n = len(self.host_blocks)
+        g = self.group
         # commit h to the executor's device up front: block outputs are
         # committed (their bp inputs are), and a committed/uncommitted h
         # difference would split the jit cache into two entries
         h = jax.device_put(h, self.device)
-        # prime the pipeline: first `window` blocks start transferring now
-        slots = {i: self._put(i) for i in range(min(self.window, n))}
-        for i in range(n):
-            h = self._block_fn(slots.pop(i), h, aux)
-            # with block i's compute dispatched, issue the transfer that
-            # keeps the pipeline `window` blocks ahead
-            nxt = i + self.window
-            if nxt < n:
+        # prime the pipeline: enough blocks for the first dispatch plus a
+        # `window`-block transfer lead start transferring now
+        nxt = min(g + self.window - 1, n)
+        slots = {i: self._put(i) for i in range(nxt)}
+        i = 0
+        while i < n:
+            j = min(i + g, n)
+            bps = tuple(slots.pop(k) for k in range(i, j))
+            h = self._fn_for_size(j - i)(bps, h, aux)
+            # with this dispatch issued, keep the transfer pipeline
+            # `window` blocks ahead of the next dispatch
+            while nxt < min(n, j + g + self.window - 1):
                 slots[nxt] = self._put(nxt)
+                nxt += 1
+            i = j
         return h
 
 

@@ -207,3 +207,28 @@ def test_streamed_int8_quant_close_to_exact():
                                    quant="int8", packed=True)
     out_qp = wan_dit_stream_apply(resident, ex_qp, cfg, x, t, ctx)
     np.testing.assert_array_equal(np.asarray(out_qp), np.asarray(out_q))
+
+
+def test_streamed_grouped_dispatch_matches_scanned():
+    """group>1 (multi-block jitted dispatches, amortizing per-dispatch
+    latency): numerics identical to the scanned forward for group sizes
+    that divide, exceed, and leave a remainder vs num_layers; composes
+    with packed transfers and int8 quant."""
+    cfg, params, x, t, ctx = _tiny()  # num_layers = 3
+    ref = wan_dit_apply(params, cfg, x, t, ctx, attn_impl="xla")
+    resident, blocks = split_host_params(params)
+    for group, packed in ((2, False), (3, False), (5, True)):
+        ex = BlockStreamingExecutor(cfg, blocks, window=2, attn_impl="xla",
+                                    group=group, packed=packed)
+        out = wan_dit_stream_apply(resident, ex, cfg, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"group={group} packed={packed}")
+    # group + quant: equals the group=1 quantized output exactly
+    ex_q1 = BlockStreamingExecutor(cfg, blocks, window=1, attn_impl="xla",
+                                   quant="int8")
+    ex_qg = BlockStreamingExecutor(cfg, blocks, window=1, attn_impl="xla",
+                                   quant="int8", group=2)
+    out_q1 = wan_dit_stream_apply(resident, ex_q1, cfg, x, t, ctx)
+    out_qg = wan_dit_stream_apply(resident, ex_qg, cfg, x, t, ctx)
+    np.testing.assert_array_equal(np.asarray(out_q1), np.asarray(out_qg))
