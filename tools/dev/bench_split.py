@@ -39,8 +39,10 @@ def block_split():
     B, N, D = 2, cfg.num_heads, cfg.head_dim
     grid = (21, 30, 52)
     L = grid[0] * grid[1] * grid[2]
-    reps = 4
-    print(f"A14B block: L={L} d={d} N={N} ffn={f} Lc={Lc} (x{reps} scans)")
+    reps = 1
+    print(f"A14B block: L={L} d={d} N={N} ffn={f} Lc={Lc} "
+          "(single-application jits x6 dispatches — the x4-scan variant "
+          "exceeded the remote-compile service deadline at dim 5120)")
 
     key = jax.random.PRNGKey(0)
     params = init_wan_block(key, cfg, dtype=jnp.bfloat16)
@@ -52,26 +54,27 @@ def block_split():
                        kv_lens=None, sp=None)
 
     def scan4(body):
+        # single application per dispatch (see banner); dispatch latency
+        # adds the same small constant to every row — fine for locating
+        # RELATIVE gaps, slightly understates absolute MXU
         def fn(c0, *rest):
-            out, _ = jax.lax.scan(lambda c, _: (body(c, *rest), None),
-                                  c0, None, length=reps)
-            return jnp.sum(out.astype(jnp.float32))
+            return jnp.sum(body(c0, *rest).astype(jnp.float32))
         return jax.jit(fn)
 
     t_blk = timed(scan4(lambda c: wan_block_apply(
-        params, c, aux, cfg, attn_impl="auto")), x, n=2) / reps
+        params, c, aux, cfg, attn_impl="auto")), x, n=6) / reps
     print(f"full block          : {t_blk*1e3:8.1f} ms")
 
     q = jax.random.normal(key, (B, L, N, D), jnp.bfloat16)
     t_self = timed(scan4(lambda c: flash_attention(
-        c, c, c, assume_normalized=True)), q, n=2) / reps
+        c, c, c, assume_normalized=True)), q, n=6) / reps
     print(f"self-attn           : {t_self*1e3:8.1f} ms "
           f"({4*B*N*L*L*D/t_self/197e12:5.1%} MXU)")
 
     kx = jax.random.normal(key, (B, Lc, N, D), jnp.bfloat16)
     Lc_r = (Lc + 127) // 128 * 128
     t_cross = timed(scan4(lambda c, kx: flash_attention(
-        c, kx, kx, assume_normalized=True)), q, kx, n=2) / reps
+        c, kx, kx, assume_normalized=True)), q, kx, n=6) / reps
     print(f"cross-attn          : {t_cross*1e3:8.1f} ms "
           f"({4*B*N*L*Lc_r*D/t_cross/197e12:5.1%} MXU)")
 
@@ -90,7 +93,7 @@ def block_split():
         return jnp.dot(g, w2, preferred_element_type=jnp.float32
                        ).astype(jnp.bfloat16)
 
-    t_gemm = timed(scan4(gemms), xm, n=2) / reps
+    t_gemm = timed(scan4(gemms), xm, n=6) / reps
     gemm_fl = 6 * 2 * B * L * d * d + 2 * 2 * B * L * d * f
     print(f"gemm chain          : {t_gemm*1e3:8.1f} ms "
           f"({gemm_fl/t_gemm/197e12:5.1%} MXU)")
@@ -109,7 +112,7 @@ def block_split():
         import omnivideo_tpu.models.wan_dit as wd
         importlib.reload(wd)
         t_noattn = timed(scan4(lambda c: wd.wan_block_apply(
-            params, c, aux, cfg, attn_impl="xla")), x, n=2) / reps
+            params, c, aux, cfg, attn_impl="xla")), x, n=6) / reps
         print(f"no-attn block       : {t_noattn*1e3:8.1f} ms")
     finally:
         attn_mod.attention = real
