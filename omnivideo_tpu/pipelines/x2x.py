@@ -89,6 +89,8 @@ class OmniVideoX2XUnified:
         ew_impl: str = "auto",  # fused AdaLN sandwich kernel; "auto" as above
         stream_quant: Optional[str] = None,  # "int8": weight-only quantized
         # block streaming (ops/quant.py) — halves host->HBM bytes per block
+        stream_group: int = 1,  # blocks per jitted dispatch (amortizes
+        # per-dispatch latency on tunnel-attached chips; numerics identical)
     ):
         self.config = config
         self.low_noise = low_noise
@@ -131,7 +133,8 @@ class OmniVideoX2XUnified:
                                            qk_impl=qk_impl,
                                            ew_impl=ew_impl,
                                            packed=True,
-                                           quant=stream_quant),
+                                           quant=stream_quant,
+                                           group=stream_group),
                 )
 
     # ------------------------------------------------------------------

@@ -67,6 +67,9 @@ def parse_args():
                    help="with --layer_stream: weight-only int8 on the "
                         "streamed block kernels (ops/quant.py) — halves the "
                         "host->HBM bytes per block on transfer-bound links")
+    p.add_argument("--stream_group", type=int, default=1,
+                   help="with --layer_stream: blocks per jitted dispatch "
+                        "(amortizes per-dispatch latency; numerics identical)")
     p.add_argument("--vae_dtype", default=None, choices=[None, "float32", "bfloat16"],
                    help="decoder compute dtype (bfloat16 ~2x decode throughput)")
     p.add_argument("--max_steps_per_call", type=int, default=None,
@@ -188,7 +191,8 @@ def main():
     if args.stream_quant:
         assert args.layer_stream, "--stream_quant requires --layer_stream"
     impl_kw = dict(layer_stream=args.layer_stream, qk_impl=args.qk_impl,
-                   ew_impl=args.ew_impl, stream_quant=args.stream_quant)
+                   ew_impl=args.ew_impl, stream_quant=args.stream_quant,
+                   stream_group=args.stream_group)
     if args.random_weights:
         pipe = OmniVideoX2XUnified.random_init(
             cfg, attn_impl=args.attn_impl, **impl_kw)
