@@ -450,20 +450,36 @@ def bench_a14b_stream(budget_s: float = 700.0):
     float(total(variants[-1]))
     del dev_block  # keep HBM headroom: 8 variants + activations only
     sched = [variants[i % len(variants)] for i in range(nl)]
-    # group: blocks per jitted dispatch — 40 single-block dispatches pay 40
-    # tunnel round trips of dispatch latency that a locally-attached host
-    # never sees; grouping amortizes it (numerics identical, parity-tested)
-    grp = int(os.environ.get("BENCH_STREAM_GROUP", "4"))
-    ex = BlockStreamingExecutor(cfg, sched, window=1, device=dev, group=grp)
+    # group: blocks per jitted dispatch. Measured on chip (2026-08-19):
+    # group=4 is SLOWER than group=1 (22.48 vs 21.98 s @480p) — dispatch is
+    # async, so the per-block tunnel latency was already hidden, and the
+    # 4-block jit only adds fusion-boundary cost. Default 1; knob kept for
+    # A/Bs on hosts with different dispatch overheads.
+    grp = int(os.environ.get("BENCH_STREAM_GROUP", "1"))
 
-    def ondevice(tag, batch_t, x_t, t_t, ctx_t, first=False):
-        def step():
-            y = wan_dit_stream_apply(resident, ex, cfg, x_t, t_t, ctx_t,
-                                     context_embedded=True)
-            return float(jnp.sum(y))
+    def ondevice(tag, sched_t, batch_t, x_t, t_t, ctx_t, first=False):
+        g = grp
+        while True:
+            ex = BlockStreamingExecutor(cfg, sched_t, window=1, device=dev,
+                                        group=g)
 
-        t0 = time.perf_counter()
-        step()                                # compile + first execution
+            def step():
+                y = wan_dit_stream_apply(resident, ex, cfg, x_t, t_t, ctx_t,
+                                         context_embedded=True)
+                return float(jnp.sum(y))
+
+            t0 = time.perf_counter()
+            try:
+                step()                        # compile + first execution
+                break
+            except Exception as e:            # a grouped jit at dim 5120 can
+                if g == 1 or left() < 120:    # trip the remote-compile
+                    raise                     # deadline; single-block is the
+                print(f"# stream {tag}: group={g} failed "
+                      f"({type(e).__name__}); retrying group=1",
+                      file=sys.stderr, flush=True)
+                g = 1                         # proven-good fallback
+        out["a14b_stream_group"] = g
         if first:
             out["a14b_stream_compile_s"] = round(time.perf_counter() - t0, 1)
         _phase_emit(dict(out))
@@ -480,20 +496,18 @@ def bench_a14b_stream(budget_s: float = 700.0):
         _phase_emit(dict(out))
         return t_step
 
-    t_step = ondevice("480p", batch, x, t_in, ctx, first=True)
+    t_step = ondevice("480p", sched, batch, x, t_in, ctx, first=True)
     if os.environ.get("BENCH_STREAM_720P") and left() > 250:
         # 720p seq 75,600 needs the HBM the 8 variants hold (5.6 GB): shrink
         # the ring to 2 blocks for this pass (same per-block compute) — the
         # first 720p attempt OOMed with all 8 resident
         variants = variants[:2]
         sched = [variants[i % len(variants)] for i in range(nl)]
-        ex = BlockStreamingExecutor(cfg, sched, window=1, device=dev,
-                                    group=grp)
         x7 = jax.random.normal(jax.random.PRNGKey(5),
                                (1, cfg.in_dim, 21, 90, 160), jnp.float32)
-        ondevice("720p", 1, x7, t_in[:1], ctx[:1])
+        ondevice("720p", sched, 1, x7, t_in[:1], ctx[:1])
         del x7
-    del variants, sched, ex
+    del variants, sched
 
     # --- streamed pass: real host->HBM transfer per dispatch (packed:
     # one flat buffer per dtype, not ~30 latency-bound per-leaf puts) ---
