@@ -445,8 +445,9 @@ def bench_a14b_stream(budget_s: float = 700.0):
     # --- on-device pass: 8 distinct resident blocks cycled to 40 ---
     scale = jax.jit(lambda b, s: jax.tree_util.tree_map(
         lambda a: (a.astype(jnp.float32) * s).astype(a.dtype), b))
+    n_var = 2 if os.environ.get("BENCH_STREAM_ONLY720") else 8
     variants = [scale(dev_block, jnp.float32(1.0 + 0.01 * i))
-                for i in range(8)]  # jnp scalar: ONE compile for all 8
+                for i in range(n_var)]  # jnp scalar: ONE compile for all
     float(total(variants[-1]))
     del dev_block  # keep HBM headroom: 8 variants + activations only
     sched = [variants[i % len(variants)] for i in range(nl)]
@@ -496,17 +497,18 @@ def bench_a14b_stream(budget_s: float = 700.0):
         _phase_emit(dict(out))
         return t_step
 
-    t_step = ondevice("480p", sched, batch, x, t_in, ctx, first=True)
-    if os.environ.get("BENCH_STREAM_720P") and left() > 250:
-        # 720p seq 75,600 needs the HBM the 8 variants hold (5.6 GB): shrink
-        # the ring to 2 blocks for this pass (same per-block compute) — the
-        # first 720p attempt OOMed with all 8 resident
-        variants = variants[:2]
+    if os.environ.get("BENCH_STREAM_ONLY720"):
+        # isolation mode: measure the 720p full-depth pass in a process
+        # that never ran the 480p pass / 8-variant ring (HBM-state control)
         sched = [variants[i % len(variants)] for i in range(nl)]
         x7 = jax.random.normal(jax.random.PRNGKey(5),
                                (1, cfg.in_dim, 21, 90, 160), jnp.float32)
-        ondevice("720p", sched, 1, x7, t_in[:1], ctx[:1])
-        del x7
+        ondevice("720p", sched, 1, x7, t_in[:1], ctx[:1], first=True)
+        return out
+    t_step = ondevice("480p", sched, batch, x, t_in, ctx, first=True)
+    # (the full-depth 720p pass is its own phase, "a14b_stream720": run
+    # in-process after this pass it measures ~1.4x slower from HBM
+    # fragmentation — see _phase_main)
     del variants, sched
 
     # --- streamed pass: real host->HBM transfer per dispatch (packed:
@@ -849,6 +851,17 @@ def _phase_main(name: str):
     elif name == "a14b_stream":
         out = bench_a14b_stream(
             budget_s=float(os.environ.get("BENCH_STREAM_BUDGET_S", "700")))
+    elif name == "a14b_stream720":
+        # full-depth 720p step in ITS OWN process: after the 480p pass +
+        # 8-variant ring, the same program measures ~1.4x slower (HBM
+        # fragmentation stalls between the 40 dispatches — 110.1 s vs
+        # 79.2 s isolated, 2026-08-19); isolation is the measurement fix
+        os.environ["BENCH_STREAM_ONLY720"] = "1"
+        out = bench_a14b_stream(
+            budget_s=float(os.environ.get("BENCH_STREAM_BUDGET_S", "700")))
+        out.pop("a14b_stream_h2d_gbps", None)       # 0.7 GB single-shot
+        out.pop("a14b_stream_h2d_packed_gbps", None)  # rates: the 480p
+        out.pop("a14b_stream_compile_s", None)        # phase owns these
     elif name == "t5":
         out["t5_xxl_encode_s"] = round(bench_t5_encode(), 3)
     elif name == "a14b":
@@ -1280,6 +1293,9 @@ def _orchestrate(quick: bool):
             # runs under a raised BENCH_DEADLINE_S; the driver's default-
             # deadline run carries it from the cache (like e2e720)
             _run_phase_subprocess("a14b_stream", 900, detail, retries=0)
+        if _remaining() > 900:
+            # full-depth 720p step, ISOLATED process (see _phase_main)
+            _run_phase_subprocess("a14b_stream720", 700, detail, retries=0)
         _run_phase_subprocess("e2e", 1500, detail, retries=0)
         if _remaining() > 1700:
             # measured full 50-step 720p denoise (~16 min incl. warm): only

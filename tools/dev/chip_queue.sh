@@ -87,7 +87,8 @@ s_qk_ab()   { step "$1" 1200 qk_ab.log         python tools/dev/bench_qk_ab.py -
 s_split()   { step "$1" 1200 split_a14b.log    python tools/dev/bench_split.py --a14b; }
 s_xself()   { step "$1" 900  xattn_self.log    python tools/dev/bench_xattn_sweep.py --self; }
 s_block()   { step "$1" 700  ph_a14b_block.log python bench.py --phase a14b_block; }
-s_stream()  { step "$1" 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 BENCH_STREAM_720P=1 python bench.py --phase a14b_stream; }
+s_stream()  { step "$1" 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 python bench.py --phase a14b_stream; }
+s_stream7() { step "$1" 800  ph_a14b_stream720.log python bench.py --phase a14b_stream720; }
 s_qwen()    { step "$1" 900  qwen_layer.log    python tools/dev/tpu_qwen_layer_bench.py; }
 s_primary() { step "$1" 1500 ph_primary.log    python bench.py --phase primary; }
 s_strain()  { step "$1" 1200 stream_train.log  python tools/dev/bench_stream_train.py; }
@@ -103,6 +104,7 @@ if [ "${REDUCED:-0}" = "1" ]; then
   s_primary 2;  merge
   s_block 3;    merge
   s_stream 4;   merge
+  s_stream7 41;  merge
   s_qwen 5;     merge
   s_strain 6;   merge
   s_slora 7;    merge
@@ -117,7 +119,7 @@ if [ "${REDUCED:-0}" = "1" ]; then
   s_e2e 12
 else
   s_kernel 1; s_xcross 2; s_a14b_ab 3; s_qk_ab 4; s_split 5; s_xself 6
-  s_block 7; s_stream 8; s_qwen 9; s_primary 10; s_strain 11; s_slora 12
+  s_block 7; s_stream 8; s_stream7 81; s_qwen 9; s_primary 10; s_strain 11; s_slora 12
   s_e2e 13
   merge
 fi

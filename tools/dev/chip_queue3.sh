@@ -73,7 +73,9 @@ merge() { python tools/dev/merge_phase_cache.py /tmp/chipq/ph_*.log /tmp/chipq/s
 
 # 1. streamed A14B with grouped dispatches (group=4) + int8 leg + measured
 #    720p on-device step — the code these measure changed after the last run
-step 1 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 BENCH_STREAM_720P=1 python bench.py --phase a14b_stream
+step 1 1500 ph_a14b_stream.log env BENCH_STREAM_BUDGET_S=1300 python bench.py --phase a14b_stream
+merge
+step 11 800 ph_a14b_stream720.log python bench.py --phase a14b_stream720
 merge
 # 2. fresh primary (headline 1.3B step + MXU) at HEAD
 step 2 1500 ph_primary.log python bench.py --phase primary
