@@ -299,12 +299,19 @@ def wan_block_apply(
                 q, k, v, kv_lens=kv_lens, assume_normalized=True,
                 qk_row_norms=(qn, kn), interpret=_interp, **_fa_kw)
 
+    # residual STORAGE dtype = x's dtype: f32 (reference parity — torch
+    # promotion keeps the reference's stream f32, model.py:245-246) or bf16
+    # (opt-in bandwidth mode via wan_dit_apply(residual_dtype=...): residual
+    # adds still compute in f32, but the [B,L,dim] stream the norms re-read
+    # moves at half the HBM bytes)
+    rdt = x.dtype
     # AdaLN: (modulation + e0).chunk(6) in f32 (model.py:236-239)
     e = bp["modulation"].astype(jnp.float32)[None, None] + aux.e0  # [B,T,6,d]
     e1, e2, e3, e4, e5, e6 = [e[:, :, i] for i in range(6)]
     # fused residual+LN+modulate sandwich (one HBM pass) — scalar-timestep
     # path only; per-token modulation (T=L) keeps the broadcast XLA form
-    fused = ew_impl != "xla" and e.shape[1] == 1 and d % 128 == 0
+    fused = (ew_impl != "xla" and e.shape[1] == 1 and d % 128 == 0
+             and rdt == jnp.float32)
 
     # --- self attention -------------------------------------------------
     if fused:
@@ -371,7 +378,8 @@ def wan_block_apply(
             None, None, cfg.eps, pdtype, ew_impl,
         )
     else:
-        x = x + o.astype(jnp.float32) * e3  # f32 residual (model.py:245-246)
+        # f32-computed residual (model.py:245-246), stored at rdt
+        x = (x.astype(jnp.float32) + o.astype(jnp.float32) * e3).astype(rdt)
         if cfg.cross_attn_norm:
             xn = layer_norm(
                 x, cfg.eps, scale=bp["norm3"]["scale"], bias=bp["norm3"]["bias"]
@@ -413,11 +421,11 @@ def wan_block_apply(
             cfg.eps, pdtype, ew_impl,
         )
     else:
-        x = x + o.astype(jnp.float32)
+        x = (x.astype(jnp.float32) + o.astype(jnp.float32)).astype(rdt)
         xn = layer_norm(x, cfg.eps, out_f32=True)
         y = (xn * (1.0 + e5) + e4).astype(pdtype)
     y = _dense(bp["ffn"]["fc2"], _gelu_tanh(_dense(bp["ffn"]["fc1"], y)))
-    x = x + y.astype(jnp.float32) * e6
+    x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e6).astype(rdt)
     return x
 
 
@@ -502,6 +510,7 @@ def wan_dit_apply(
     y: Optional[jnp.ndarray] = None,
     clip_fea: Optional[jnp.ndarray] = None,
     carry_dtype=None,
+    residual_dtype=None,
     ew_impl: str = "xla",
     qk_impl: str = "xla",
 ) -> jnp.ndarray:
@@ -597,6 +606,22 @@ def wan_dit_apply(
 
     block_fn = lambda bp, xx: wan_block_apply(bp, xx, aux, cfg, attn_impl,
                                               ew_impl, qk_impl)
+    if residual_dtype is not None and residual_dtype != jnp.float32:
+        # bandwidth mode: the [B,L,dim] residual STREAM inside every block
+        # is stored at residual_dtype (adds/norms still compute f32 — see
+        # wan_block_apply rdt). Distinct from carry_dtype, which upcasts at
+        # block entry and only shrinks the scan carry / remat checkpoints
+        # without touching in-block traffic. Opt-in: the reference's stream
+        # is f32 (torch promotion, model.py:245-246), so parity runs f32.
+        assert carry_dtype in (None, residual_dtype), (carry_dtype,
+                                                       residual_dtype)
+        hf = h.astype(residual_dtype)
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        hf, _ = jax.lax.scan(lambda xx, bp: (block_fn(bp, xx), None), hf,
+                             params["blocks"])
+        hf = hf.astype(jnp.float32)
+        return _wan_head(params, cfg, hf, e, ew_impl, grid)
     cdt = carry_dtype if carry_dtype is not None else jnp.float32
     if cdt != jnp.float32:
         # cast INSIDE the (possibly rematerialized) block so the scan carry —
@@ -615,8 +640,12 @@ def wan_dit_apply(
     hf = h.astype(cdt)
     hf, _ = jax.lax.scan(scan_body, hf, params["blocks"])
     hf = hf.astype(jnp.float32)
+    return _wan_head(params, cfg, hf, e, ew_impl, grid)
 
-    # head (reference model.py:261-290): 2-way modulation with e (not e0), f32
+
+def _wan_head(params, cfg: WanDiTConfig, hf, e, ew_impl, grid):
+    """Output head (reference model.py:261-290): 2-way modulation with e
+    (not e0), f32, then unpatchify."""
     hp = params["head"]
     eh = hp["modulation"].astype(jnp.float32)[None, None] + e[:, :, None]  # [B,T,2,d]
     if ew_impl != "xla" and eh.shape[1] == 1 and cfg.dim % 128 == 0:

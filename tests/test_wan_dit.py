@@ -101,6 +101,27 @@ def test_remat_matches(golden, golden_params):
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-6)
 
 
+def test_residual_dtype_bf16_close_to_f32(golden, golden_params):
+    """residual_dtype=bf16 (bandwidth mode) stays close to the f32-stream
+    parity path: the residual adds still compute in f32, only the stored
+    [B,L,dim] stream is rounded to bf16 between ops."""
+    args = (
+        jnp.asarray(golden["x"]),
+        jnp.asarray(golden["t"]),
+        _golden_ctx(golden),
+    )
+    y0 = wan_dit_apply(golden_params, TINY, *args, attn_impl="xla")
+    y1 = wan_dit_apply(golden_params, TINY, *args, attn_impl="xla",
+                       residual_dtype=jnp.bfloat16)
+    d = np.abs(np.asarray(y1) - np.asarray(y0))
+    scale = np.abs(np.asarray(y0)).mean() + 1e-6
+    assert (d.mean() / scale) < 3e-2, (d.mean(), scale)
+    # and the mode composes with remat (inference-time memory knob)
+    y2 = wan_dit_apply(golden_params, TINY, *args, attn_impl="xla",
+                       residual_dtype=jnp.bfloat16, remat=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+
+
 def test_patchify_roundtrip():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 4, 3, 8, 8)), jnp.float32)
