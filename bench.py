@@ -474,8 +474,14 @@ def bench_a14b_stream(budget_s: float = 700.0):
                 step()                        # compile + first execution
                 break
             except Exception as e:            # a grouped jit at dim 5120 can
-                if g == 1 or left() < 120:    # trip the remote-compile
+                if g == 1 or left() < 240:    # trip the remote-compile
                     raise                     # deadline; single-block is the
+                # a failed chip op can wedge the tunnel 10-40 min — probe in
+                # a throwaway subprocess before burning the retry (ADVICE r4)
+                if not _tunnel_alive(timeout_s=min(120, int(left()) - 120)):
+                    out["a14b_stream_group_failed"] = g
+                    _phase_emit(dict(out))
+                    raise
                 print(f"# stream {tag}: group={g} failed "
                       f"({type(e).__name__}); retrying group=1",
                       file=sys.stderr, flush=True)
@@ -962,6 +968,7 @@ def _emit_best():
     if _EMIT_STATE["emitted"]:
         return
     _EMIT_STATE["emitted"] = True
+    sys.stderr.flush()  # keep earlier stderr notes BEFORE the JSON when merged
     cache = _EMIT_STATE["cache"] or {}
     fresh = _EMIT_STATE["value"] is not None
     detail = dict(cache.get("detail", {}))
@@ -1241,6 +1248,13 @@ def _orchestrate(quick: bool):
 
     _install_handlers()
     _load_cache()
+    if os.environ.get("BENCH_TEST_CONTRACT"):
+        # CI hook: exercise the end-of-orchestration output ordering without
+        # a chip — tests assert `2>&1 | tail -1` is the JSON line.
+        _EMIT_STATE["value"], _EMIT_STATE["vs_baseline"] = 1.0, 0.5
+        _EMIT_STATE["detail"]["contract_test"] = True
+        _finalize()
+        return
     if os.environ.get("BENCH_TEST_HANG"):
         # CI hook: simulate being mid-work when the driver's timeout fires,
         # to exercise the SIGTERM → emit-best-partial path
@@ -1321,13 +1335,25 @@ def _orchestrate(quick: bool):
         _run_phase_subprocess("qwen30b", 600, detail, needs_tpu=False)
         _run_phase_subprocess("a14b_train", 1200, detail, needs_tpu=False)
 
+    _finalize()
+
+
+def _finalize(probe: bool = True):
+    """End-of-run output contract: the JSON result line must be the LAST
+    thing printed on EITHER stream — the driver reads the merged-stream
+    last line (VERDICT r4 item 2: round 4's headline parsed as null because
+    the final-probe status trailed the JSON). So the chip-health probe runs
+    and reports BEFORE _emit_best(), and nothing prints after it."""
     _save_cache()
-    _emit_best()
-    # leave the chip verifiably unwedged for whoever runs next
-    if _remaining() > 100 and _tunnel_alive(timeout_s=90):
+    if not probe or os.environ.get("BENCH_TEST_CONTRACT"):
+        print("# final probe skipped (no chip phase ran)", file=sys.stderr)
+    elif _remaining() > 100 and _tunnel_alive(timeout_s=90):
+        # leave the chip verifiably unwedged for whoever runs next
         print("# final probe: chip healthy", file=sys.stderr)
     else:
         print("# final probe skipped/failed", file=sys.stderr)
+    sys.stderr.flush()
+    _emit_best()
 
 
 def main():

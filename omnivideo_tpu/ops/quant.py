@@ -44,12 +44,18 @@ def is_q8_leaf(x: Any) -> bool:
 
 
 def quantize_leaf(w: np.ndarray) -> dict:
-    """Symmetric per-output-channel int8 of a 2-D kernel [in, out]."""
-    a = np.asarray(w, dtype=np.float32)
+    """Symmetric per-output-channel int8 of a 2-D kernel [in, out].
+
+    "dt" is a zero-size marker array carrying the SOURCE dtype (jit-safe:
+    part of the abstract signature, zero payload) so dequantize_block can
+    round-trip float16 kernels back to float16 instead of silently
+    rebuilding them as bfloat16 (ADVICE r4)."""
+    src = np.asarray(w)
+    a = src.astype(np.float32)
     amax = np.max(np.abs(a), axis=0)
     scale = np.where(amax > 0, amax, 1.0).astype(np.float32) / 127.0
     q = np.clip(np.round(a / scale), -127, 127).astype(np.int8)
-    return {_Q8_KEY: q, "scale": scale}
+    return {_Q8_KEY: q, "scale": scale, "dt": np.zeros((0,), dtype=src.dtype)}
 
 
 def quantize_block(block, min_size: int = 4096):
@@ -69,14 +75,16 @@ def quantize_block(block, min_size: int = 4096):
 
 
 def dequantize_block(qblock, dtype=jnp.bfloat16):
-    """jit-safe inverse: {"q8", "scale"} dicts -> dense kernels in `dtype`.
-    The int8->f32 cast and per-column scale multiply fuse into one HBM pass
-    under XLA; the surrounding matmul consumes the bf16 result on the MXU."""
+    """jit-safe inverse: {"q8", "scale"} dicts -> dense kernels in their
+    recorded source dtype (the "dt" marker; `dtype` is the fallback for
+    legacy trees without one). The int8->f32 cast and per-column scale
+    multiply fuse into one HBM pass under XLA; the surrounding matmul
+    consumes the low-precision result on the MXU."""
 
     def deq(leaf):
         if is_q8_leaf(leaf):
             w = leaf[_Q8_KEY].astype(jnp.float32) * leaf["scale"][None, :]
-            return w.astype(dtype)
+            return w.astype(leaf["dt"].dtype if "dt" in leaf else dtype)
         return leaf
 
     return jax.tree_util.tree_map(deq, qblock, is_leaf=is_q8_leaf)

@@ -132,3 +132,28 @@ def test_merge_phase_cache_noop_preserves_measured_at(tmp_path):
     merged = json.loads(cache.read_text())
     assert merged["detail"]["new_key"] == 2.5
     assert merged["measured_at"] != "2026-01-01T00:00:00Z"
+
+
+def test_merged_stream_last_line_is_json(tmp_path):
+    """VERDICT r4 item 2: the driver reads the MERGED-stream last line.
+    Nothing — not even the final chip-health probe note — may print after
+    the JSON result on either stream."""
+    bench = _bench_copy(tmp_path)
+    # (a) the full-orchestration tail (BENCH_TEST_CONTRACT skips chip work
+    # but runs the real _finalize() ordering)
+    env = _env(tmp_path, BENCH_TEST_CONTRACT="1")
+    r = subprocess.run([sys.executable, str(bench)], env=env,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       text=True, timeout=120)
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    out = json.loads(lines[-1])  # raises if anything trails the JSON
+    assert out["unit"] == "s/step"
+    assert out["detail"]["contract_test"] is True
+    # (b) the wedged path
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"value": 2.0, "vs_baseline": 0.6, "detail": {}}))
+    r = subprocess.run([sys.executable, str(bench)], env=_env(tmp_path),
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       text=True, timeout=120)
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert json.loads(lines[-1])["detail"]["stale"] is True

@@ -232,3 +232,19 @@ def test_streamed_grouped_dispatch_matches_scanned():
     out_q1 = wan_dit_stream_apply(resident, ex_q1, cfg, x, t, ctx)
     out_qg = wan_dit_stream_apply(resident, ex_qg, cfg, x, t, ctx)
     np.testing.assert_array_equal(np.asarray(out_q1), np.asarray(out_qg))
+
+
+def test_quant_round_trips_source_dtype():
+    """ADVICE r4: a float16 kernel must dequantize back to float16 (the
+    "dt" marker records the source dtype), incl. through a jit boundary."""
+    from omnivideo_tpu.ops.quant import dequantize_block, quantize_block
+
+    rng = np.random.default_rng(1)
+    block = {
+        "f16": (rng.standard_normal((64, 64)) * 0.1).astype(np.float16),
+        "bf16": (rng.standard_normal((64, 64)) * 0.1).astype(jnp.bfloat16),
+    }
+    qb = quantize_block(block, min_size=1024)
+    back = jax.jit(dequantize_block)(qb)
+    assert back["f16"].dtype == jnp.float16
+    assert back["bf16"].dtype == jnp.bfloat16

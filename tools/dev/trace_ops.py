@@ -65,7 +65,6 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--line", default=None,
                     help="only aggregate lines whose name matches this regex")
-    ap.add_argument("--merge-dups", action="store_true", default=True)
     args = ap.parse_args()
 
     for path, xs in load_xspaces(args.logdir):

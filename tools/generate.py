@@ -190,6 +190,8 @@ def main():
             "--layer_stream is the single-device path (no sp/fsdp/tp)"
     if args.stream_quant:
         assert args.layer_stream, "--stream_quant requires --layer_stream"
+    if args.stream_group != 1:
+        assert args.layer_stream, "--stream_group requires --layer_stream"
     impl_kw = dict(layer_stream=args.layer_stream, qk_impl=args.qk_impl,
                    ew_impl=args.ew_impl, stream_quant=args.stream_quant,
                    stream_group=args.stream_group)
