@@ -257,3 +257,64 @@ def test_dit_passes_assume_normalized(monkeypatch):
                            attn_impl="xla")
     assert seen and all(seen), seen  # qk_norm=True default → flag passed
     assert out.shape == (1, 4, 2, 8, 8)
+
+
+@pytest.mark.parametrize("gain", [0.5, 1.0, 1.7, 2.2, 4.0, 10.0])
+def test_bounded_softmax_gain_sweep(gain):
+    """VERDICT r4 item 8: finetuned/LoRA-merged checkpoints can GROW the
+    qk-norm gains, moving the Cauchy-Schwarz bound toward (and past) the
+    underflow-guard fallback threshold. Sweep row-norm gains across the
+    boundary (at hd=128 the lax.cond flips near gain ~1.9) — every
+    magnitude must still match the oracle softmax, with no zeroed rows."""
+    rng = np.random.default_rng(int(gain * 10))
+    B, L, N, D = 1, 256, 2, 128
+
+    def mk(seed_off, g):
+        x = rng.standard_normal((B, L, N, D)).astype(np.float32)
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return jnp.asarray(x / n * (g * np.sqrt(D)))
+
+    q, k, v = mk(0, gain), mk(1, gain), mk(2, 1.0)
+    ref = attention_xla(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True,
+                          assume_normalized=True)
+    assert np.isfinite(np.asarray(out)).all()
+    # no silently-zeroed rows: softmax(v rows of unit-ish norm) can't be ~0
+    row_norms = np.linalg.norm(np.asarray(out, np.float32), axis=-1)
+    assert row_norms.min() > 1e-4, f"zeroed rows at gain={gain}"
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=7e-3, atol=7e-3,
+                               err_msg=f"gain={gain}")
+
+
+@pytest.mark.parametrize("gain", [1.0, 2.5, 8.0])
+def test_bounded_softmax_gain_sweep_qk_prep_path(gain):
+    """Same sweep through the PRODUCTION fused path: qk_prep's row-norm
+    bounds feed the dispatch, so a grown gain vector must trip the same
+    fallback there (the r4 fix only unit-tested a fixed threshold)."""
+    from omnivideo_tpu.ops.pallas.flash_attention import flash_attention_infer
+    from omnivideo_tpu.ops.pallas.qk_prep import qk_prep
+    from omnivideo_tpu.ops.norms import rms_norm
+
+    rng = np.random.default_rng(5)
+    B, L, N, hd = 1, 256, 2, 128
+    d = N * hd
+    xq = jnp.asarray(rng.standard_normal((B, L, d)), jnp.float32)
+    xk = jnp.asarray(rng.standard_normal((B, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, N, hd)) * 0.5, jnp.float32)
+    g = jnp.full((d,), gain, jnp.float32)  # LoRA-merged/finetuned gains
+
+    q, qn = qk_prep(xq, g, None, None, N, interpret=True)
+    k, kn = qk_prep(xk, g, None, None, N, interpret=True)
+    ref = attention_xla(rms_norm(xq, g, 1e-5).reshape(B, L, N, hd),
+                        rms_norm(xk, g, 1e-5).reshape(B, L, N, hd), v)
+    out = flash_attention_infer(q, k, v, block_q=128, block_k=128,
+                                interpret=True, assume_normalized=True,
+                                qk_row_norms=(qn, kn))
+    assert np.isfinite(np.asarray(out)).all()
+    row_norms = np.linalg.norm(np.asarray(out, np.float32), axis=-1)
+    assert row_norms.min() > 1e-4, f"zeroed rows at gain={gain}"
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=7e-3, atol=7e-3, err_msg=f"gain={gain}")
