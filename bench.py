@@ -887,6 +887,22 @@ def _phase_main(name: str):
 
         jax.config.update("jax_platforms", "cpu")
         out["a14b_train_fsdp8_compile_s"] = round(bench_a14b_train_compile(), 1)
+    elif name == "v5e8":
+        # v5e-8 north-star projection: measured single-chip 720p step +
+        # comm volume from the COMPILED seq=8 ulysses HLO (virtual CPU mesh)
+        # + the stated ICI model — tools/dev/project_v5e8.py prints the
+        # PHASE_JSON itself (it needs XLA_FLAGS set before jax import, so
+        # it must own its process).
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "dev", "project_v5e8.py")],
+            capture_output=True, text=True, timeout=540)
+        for ln in r.stdout.splitlines():
+            if ln.startswith("PHASE_JSON:"):
+                out.update(json.loads(ln[len("PHASE_JSON:"):]))
     elif name == "train":
         # measured 1.3B fwd+bwd+update steps (MANUAL phase: not in the
         # default orchestration — cold compiles run ~10 min each; run via
@@ -1334,6 +1350,7 @@ def _orchestrate(quick: bool):
         _run_phase_subprocess("a14b", 900, detail, needs_tpu=False)
         _run_phase_subprocess("qwen30b", 600, detail, needs_tpu=False)
         _run_phase_subprocess("a14b_train", 1200, detail, needs_tpu=False)
+        _run_phase_subprocess("v5e8", 600, detail, needs_tpu=False)
 
     _finalize()
 

@@ -347,22 +347,26 @@ def wan_block_apply(
     elif sp.mode == "ulysses":
         from ..parallel.ulysses import ulysses_attention
 
+        # comm_dtype=pdtype: SP collectives ride ICI at the param precision
+        # (bf16 production = half the wire bytes; f32 CPU-parity paths are
+        # bit-identical no-ops). Reference flash-attn is half precision
+        # anyway (attention.py:24), so this matches its numerics class.
         o = ulysses_attention(
             q, k, v, sp.mesh, axis=sp.seq_axis, kv_lens=aux.kv_lens,
-            impl=attn_impl, assume_normalized=cfg.qk_norm
+            impl=attn_impl, assume_normalized=cfg.qk_norm, comm_dtype=pdtype
         )
     elif sp.mode == "ring":
         from ..parallel.ring import ring_attention
 
         o = ring_attention(q, k, v, sp.mesh, axis=sp.seq_axis,
                            impl=getattr(sp, "ring_impl", "ppermute"),
-                           kv_lens=aux.kv_lens)
+                           kv_lens=aux.kv_lens, comm_dtype=pdtype)
     elif sp.mode == "hybrid":
         from ..parallel.ring import hybrid_attention
 
         o = hybrid_attention(
             q, k, v, sp.mesh, ulysses_axis=sp.ulysses_axis,
-            ring_axis=sp.seq_axis, kv_lens=aux.kv_lens
+            ring_axis=sp.seq_axis, kv_lens=aux.kv_lens, comm_dtype=pdtype
         )
     else:
         raise ValueError(sp.mode)

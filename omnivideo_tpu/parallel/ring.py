@@ -143,6 +143,7 @@ def ring_attention(
     impl: str = "ppermute",
     interpret: Optional[bool] = None,
     kv_lens: Optional[jnp.ndarray] = None,
+    comm_dtype=None,
 ) -> jnp.ndarray:
     """Global-view wrapper: shard along L over `axis`, run ring attention.
 
@@ -155,6 +156,11 @@ def ring_attention(
     reference sp-multiple seq rounding, x2x_gen_unified.py:332-334). Assumes
     contiguous end-padding; padding must be < one shard (always true for
     round-up-to-sp-multiple padding)."""
+    if comm_dtype is not None:
+        # K/V ride the ring (n-1 ppermutes each) in this dtype — bf16 in
+        # production halves the ICI bytes; reference flash-attn is half
+        # precision anyway (attention.py:24). None = keep incoming dtypes.
+        q, k, v = q.astype(comm_dtype), k.astype(comm_dtype), v.astype(comm_dtype)
     n = mesh.shape[axis]
     B, L, N, D = q.shape
     assert L % n == 0, (L, n)
@@ -223,6 +229,7 @@ def hybrid_attention(
     ring_impl: str = "ppermute",
     interpret: Optional[bool] = None,
     kv_lens: Optional[jnp.ndarray] = None,
+    comm_dtype=None,
 ) -> jnp.ndarray:
     """2-D hybrid Ulysses×Ring sequence parallelism.
 
@@ -238,6 +245,9 @@ def hybrid_attention(
     """
     from .ulysses import _a2a_gather_heads, _a2a_scatter_heads
 
+    if comm_dtype is not None:
+        # both the ulysses a2a and the ring ppermutes ride ICI in this dtype
+        q, k, v = q.astype(comm_dtype), k.astype(comm_dtype), v.astype(comm_dtype)
     nu = mesh.shape[ulysses_axis]
     nr = mesh.shape[ring_axis]
     B, L, N, D = q.shape

@@ -36,19 +36,28 @@ def _a2a_gather_heads(x, axis: str):
 
 def ulysses_attention_local(
     q, k, v, axis: str = "seq", kv_lens=None, impl: str = "auto",
-    assume_normalized: bool = False,
+    assume_normalized: bool = False, comm_dtype=None,
 ):
     """Attention on sequence-sharded q/k/v; call inside shard_map.
 
     q: [B, Lq/n, N, D]; k/v: [B, Lk/n, N, D] (both sharded along length).
     Requires num_heads % n == 0 (reference guard ulysses.py:32-38, enforced
     statically here by the all_to_all shape check).
+
+    comm_dtype: dtype the four all_to_alls ride ICI in (callers pass the
+    param dtype — bf16 in production halves the wire bytes; the reference's
+    flash-attn consumes/produces half precision anyway, attention.py:24).
+    None keeps the incoming dtypes (f32 oracle/parity paths).
     """
+    if comm_dtype is not None:
+        q, k, v = q.astype(comm_dtype), k.astype(comm_dtype), v.astype(comm_dtype)
     q = _a2a_scatter_heads(q, axis)
     k = _a2a_scatter_heads(k, axis)
     v = _a2a_scatter_heads(v, axis)
     o = attention(q, k, v, kv_lens=kv_lens, impl=impl,
                   assume_normalized=assume_normalized)
+    if comm_dtype is not None:
+        o = o.astype(comm_dtype)
     return _a2a_gather_heads(o, axis)
 
 
@@ -61,6 +70,7 @@ def ulysses_attention(
     kv_lens: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     assume_normalized: bool = False,
+    comm_dtype=None,
 ) -> jnp.ndarray:
     """Global-view wrapper: shard q/k/v along L over `axis`, run Ulysses.
 
@@ -75,7 +85,8 @@ def ulysses_attention(
     spec = P(None, axis, None, None)
     fn = jax.shard_map(
         functools.partial(ulysses_attention_local, axis=axis, kv_lens=kv_lens,
-                          impl=impl, assume_normalized=assume_normalized),
+                          impl=impl, assume_normalized=assume_normalized,
+                          comm_dtype=comm_dtype),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
