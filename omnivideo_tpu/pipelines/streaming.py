@@ -338,6 +338,7 @@ def wan_dit_stream_apply(
     *,
     seq_len: Optional[int] = None,
     context_embedded: bool = False,
+    residual_dtype=None,
 ) -> jnp.ndarray:
     """Full DiT forward with the block stack streamed from host memory.
 
@@ -359,6 +360,10 @@ def wan_dit_stream_apply(
     pre, post = _pre_post_for(cfg, grid, L, context_embedded, str(pdtype))
 
     h, e, e0, ctx = pre(resident_params, x, t, context)
+    if residual_dtype is not None and residual_dtype != jnp.float32:
+        # bf16 residual stream (wan_dit_apply residual_dtype contract):
+        # blocks read x.dtype as the storage dtype; adds still compute f32
+        h = h.astype(residual_dtype)
     kv_lens = jnp.full((B,), L_nat, jnp.int32) if L > L_nat else None
     cos, sin = rope_3d_tables(grid, cfg.head_dim, cfg.rope_max_seq_len,
                               cfg.rope_theta)

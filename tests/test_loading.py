@@ -387,3 +387,76 @@ def test_load_pipeline_layer_stream_matches(ckpt_dir):
                         attn_impl="xla", layer_stream=True).generate(**kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_midsize_bundle_parity(tmp_path_factory):
+    """VERDICT r4 item 7: a ~80M-param bundle (real-ish WIDTH: dim 768, 12
+    heads, head_dim 64, 8 layers) generated by the TORCH REFERENCE itself
+    round-trips through load_pipeline -> unified forward with output-tensor
+    parity against the reference forward, then runs generate() end-to-end —
+    parity evidence is no longer tiny-config-only. The bundle is too big to
+    commit (~220 MB), so it is regenerated into a scratch dir on demand."""
+    import subprocess
+    import sys as _sys
+
+    from omnivideo_tpu.models.unified import build_mixed_context
+    from omnivideo_tpu.models.wan_dit import wan_dit_apply
+
+    repo = Path(__file__).resolve().parents[1]
+    out = tmp_path_factory.mktemp("bundle_mid")
+    r = subprocess.run(
+        [_sys.executable, str(repo / "tools/dev/make_golden_bundle.py"),
+         "--mid", "--out", str(out)],
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+
+    mid_cfg = PipelineConfig(
+        name="mid-ckpt",
+        dit=WanDiTConfig(
+            patch_size=(1, 2, 2), text_len=512, in_dim=16, dim=768,
+            ffn_dim=3072, freq_dim=256, text_dim=512, out_dim=16,
+            num_heads=12, num_layers=8, qk_norm=True, cross_attn_norm=True,
+            eps=1e-6,
+        ),
+        vae=VAEConfig(dim=32, z_dim=16, dim_mult=(1, 2, 4, 4),
+                      num_res_blocks=2,
+                      temperal_downsample=(False, True, True)),
+        t5=T5Config(vocab_size=1024, dim=256, dim_attn=256, dim_ffn=512,
+                    num_heads=8, num_layers=4, num_buckets=32, text_len=32),
+        vlm_in_dim=512,
+        use_visual_context_adapter=True,
+        visual_context_adapter_patch_size=(1, 4, 4),
+        max_context_len=128,
+        dual_expert=False,
+    )
+    pipe = load_pipeline(mid_cfg, str(out), dtype=jnp.float32,
+                         attn_impl="xla")
+    golden = np.load(out / "unified_mid_golden.npz")
+
+    mixed = build_mixed_context(
+        pipe.low_noise.companions, mid_cfg,
+        context=jnp.asarray(golden["ctx"]),
+        ar_vision=jnp.asarray(golden["ar_vision"]),
+        visual_emb=jnp.asarray(golden["visual_emb"]),
+        special_tokens={k: jnp.asarray(v, jnp.float32)
+                        for k, v in pipe.special_tokens.items()},
+        condition_mode="full",
+    )
+    y = wan_dit_apply(
+        pipe.low_noise.wan, mid_cfg.dit.replace(text_len=128),
+        jnp.asarray(golden["x"]), jnp.asarray(golden["t"]), mixed[None],
+        seq_len=320, attn_impl="xla")
+    ref = golden["out"]
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-3, atol=2e-3)
+
+    # end-to-end: few-step generation through the loaded mid pipeline
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((20, 512)), jnp.float32) * 0.1
+    video = pipe.generate(
+        precomputed_context=ctx,
+        precomputed_context_null=jnp.zeros_like(ctx),
+        size=(32, 32), frame_num=5, sampling_steps=2, guide_scale=3.0,
+        seed=0)
+    assert video.shape == (3, 5, 32, 32)
+    assert np.isfinite(np.asarray(video)).all()

@@ -70,6 +70,12 @@ def parse_args():
     p.add_argument("--stream_group", type=int, default=1,
                    help="with --layer_stream: blocks per jitted dispatch "
                         "(amortizes per-dispatch latency; numerics identical)")
+    p.add_argument("--residual_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="DiT residual-stream storage dtype. bfloat16 halves "
+                        "the in-block norm/residual HBM traffic (adds still "
+                        "compute f32); float32 is the strict "
+                        "reference-parity stream")
     p.add_argument("--vae_dtype", default=None, choices=[None, "float32", "bfloat16"],
                    help="decoder compute dtype (bfloat16 ~2x decode throughput)")
     p.add_argument("--max_steps_per_call", type=int, default=None,
@@ -194,7 +200,8 @@ def main():
         assert args.layer_stream, "--stream_group requires --layer_stream"
     impl_kw = dict(layer_stream=args.layer_stream, qk_impl=args.qk_impl,
                    ew_impl=args.ew_impl, stream_quant=args.stream_quant,
-                   stream_group=args.stream_group)
+                   stream_group=args.stream_group,
+                   residual_dtype=args.residual_dtype)
     if args.random_weights:
         pipe = OmniVideoX2XUnified.random_init(
             cfg, attn_impl=args.attn_impl, **impl_kw)
