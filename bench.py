@@ -180,7 +180,8 @@ def bench_e2e_480p(steps=50):
     from omnivideo_tpu.pipelines.x2x import OmniVideoX2XUnified
 
     cfg = T2V_1_3B
-    pipe = OmniVideoX2XUnified.random_init(cfg, with_vae=False, attn_impl="auto")
+    pipe = OmniVideoX2XUnified.random_init(cfg, with_vae=False, attn_impl="auto",
+                                       residual_dtype="bfloat16")
     ctx = jax.random.normal(jax.random.PRNGKey(1), (24, cfg.dit.text_dim), jnp.float32)
     kwargs = dict(
         precomputed_context=ctx,
@@ -238,7 +239,8 @@ def bench_e2e_720p(steps=50):
     from omnivideo_tpu.pipelines.x2x import OmniVideoX2XUnified
 
     cfg = T2V_1_3B
-    pipe = OmniVideoX2XUnified.random_init(cfg, with_vae=False, attn_impl="auto")
+    pipe = OmniVideoX2XUnified.random_init(cfg, with_vae=False, attn_impl="auto",
+                                       residual_dtype="bfloat16")
     ctx = jax.random.normal(jax.random.PRNGKey(1), (24, cfg.dit.text_dim), jnp.float32)
     kwargs = dict(
         precomputed_context=ctx,
@@ -777,10 +779,14 @@ def bench_primary(quick: bool):
 
     # NOTE: under the axon TPU platform block_until_ready() is a no-op; force
     # execution by fetching a scalar reduction of the output.
+    # residual_dtype=bf16 is the round-5 inference default (quality A/B:
+    # PSNR 35.3 dB / SSIM 0.998 vs the f32 stream at 480p·81f·10 UniPC
+    # steps on RANDOM weights — tools/dev/bench_residual_quality.py)
     fwd = jax.jit(
         lambda p, x, t, c: jnp.sum(
             wan_dit_apply(p, dit_cfg, x, t, c, attn_impl="auto",
-                          qk_impl="auto", ew_impl="auto").astype(jnp.float32)
+                          qk_impl="auto", ew_impl="auto",
+                          residual_dtype=jnp.bfloat16).astype(jnp.float32)
         )
     )
     dit_step_s = _timed(lambda *a: float(fwd(*a)), params, x, t, ctx,

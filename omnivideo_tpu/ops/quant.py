@@ -90,6 +90,41 @@ def dequantize_block(qblock, dtype=jnp.bfloat16):
     return jax.tree_util.tree_map(deq, qblock, is_leaf=is_q8_leaf)
 
 
+def quantize_block_jnp(block, min_size: int = 4096):
+    """jit-safe (device-side) mirror of quantize_block — used to shrink
+    d2h fetches (e.g. streamed-training gradients) to int8 + f32 scales
+    before they cross a slow link. Same eligibility rules and the same
+    "dt" source-dtype marker as the host version."""
+
+    def q(leaf):
+        if (leaf.ndim == 2 and leaf.size >= min_size
+                and jnp.dtype(leaf.dtype).name in _QUANT_DTYPES):
+            a = leaf.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(a), axis=0)
+            scale = jnp.where(amax > 0, amax, 1.0) / 127.0
+            q8 = jnp.clip(jnp.round(a / scale), -127, 127).astype(jnp.int8)
+            return {_Q8_KEY: q8, "scale": scale,
+                    "dt": jnp.zeros((0,), leaf.dtype)}
+        return leaf
+
+    return jax.tree_util.tree_map(q, block)
+
+
+def dequantize_block_np(qblock):
+    """Host-side inverse (numpy): q8 dicts -> dense kernels in their source
+    dtype; used by host-side optimizer updates on fetched q8 gradients."""
+
+    def deq(leaf):
+        if is_q8_leaf(leaf):
+            w = np.asarray(leaf[_Q8_KEY], np.float32) * np.asarray(
+                leaf["scale"], np.float32)[None, :]
+            dt = leaf["dt"].dtype if "dt" in leaf else np.dtype("bfloat16")
+            return w.astype(dt)
+        return leaf
+
+    return jax.tree_util.tree_map(deq, qblock, is_leaf=is_q8_leaf)
+
+
 def quantized_bytes(qblock) -> int:
     """Total payload bytes of a (possibly partially) quantized block."""
     return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(qblock))

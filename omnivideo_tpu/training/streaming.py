@@ -131,15 +131,29 @@ class StreamedTrainer:
         act_offload: bool = True,
         device=None,
         packed_transfers: bool = True,
+        stream_quant: Optional[str] = None,
     ):
         assert tc.grad_accum_steps == 1, "streamed trainer: accumulate on host"
         assert not tc.trainable_filters, "streamed trainer trains all params"
+        assert stream_quant in (None, "int8"), stream_quant
         self.cfg = cfg
         self.tc = tc
         self.dit_cfg = cfg.dit.replace(text_len=cfg.max_context_len)
         self.attn_impl = attn_impl
         self.act_offload = act_offload
         self.device = device or jax.devices()[0]
+        # stream_quant="int8" — the tunnel-class transfer diet (VERDICT r4
+        # item 6): fwd AND bwd block-param streams ride weight-only q8
+        # (0.35 vs 0.7 GB/block at A14B), gradients are quantized ON DEVICE
+        # before the d2h fetch, and the block optimizer update runs on the
+        # HOST CPU backend (same optax fn, zero extra crossings — updated
+        # params/opt state never cross the wire). Opt-in: grads are taken
+        # at the dequantized-q8 weights and ride int8, so the step is no
+        # longer bit-identical to the monolithic trainer (master weights on
+        # host stay full precision; parity bound in tests).
+        self.stream_quant = stream_quant
+        self._q8_cache_step = -1
+        self._q8_blocks: List[Any] = []
         # packed_transfers: every per-block host<->device crossing (params,
         # grads, optimizer state) moves as one flat buffer per dtype — the
         # tunnel pays a round trip per transfer, so ~30-leaf pytrees are
@@ -287,6 +301,48 @@ class StreamedTrainer:
                          post_loss_grads=post_loss_grads,
                          post_loss_dh=post_loss_dh, sq_norm=sq_norm,
                          upd=upd, acc=acc)
+
+        if getattr(self, "stream_quant", None):
+            from ..ops.quant import dequantize_block, quantize_block_jnp
+
+            @jax.jit
+            def block_fwd_q(qbp, x, e0, ctx, cos, sin):
+                return block_fn(dequantize_block(qbp), x, e0, ctx, cos, sin)
+
+            @jax.jit
+            def block_grads_q(qbp, x, e0, ctx, cos, sin, ct):
+                bp = dequantize_block(qbp)
+                _, pull = jax.vjp(
+                    lambda b, xx, ee, cc: block_fn(b, xx, ee, cc, cos, sin),
+                    bp, x, e0, ctx)
+                return pull(ct)
+
+            @jax.jit
+            def qgrad(g):
+                # shrink the d2h gradient fetch to int8 + f32 scales
+                return quantize_block_jnp(g)
+
+            # the block optimizer update runs on the HOST CPU backend —
+            # byte-identical optax math, zero tunnel crossings for updated
+            # params / optimizer state. Inputs committed to a cpu device
+            # pin the jit execution there (jit follows committed inputs).
+            cpu = jax.devices("cpu")[0]
+
+            def upd_fn(p, g, opt_state, scale):
+                g = jax.tree_util.tree_map(lambda x: x * scale, g)
+                updates, opt2 = self.inner.update(g, opt_state, p)
+                return optax.apply_updates(p, updates), opt2
+
+            upd_jit = jax.jit(upd_fn)
+
+            def upd_cpu(p, g, opt_state, scale):
+                put = lambda t: jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, cpu), t)
+                return upd_jit(put(p), put(g), put(opt_state),
+                               jax.device_put(np.float32(scale), cpu))
+            self._jit.update(block_fwd_q=block_fwd_q,
+                             block_grads_q=block_grads_q, qgrad=qgrad,
+                             upd_cpu=upd_cpu)
         del pcfg
 
     # ------------------------------------------------------------------
@@ -328,6 +384,24 @@ class StreamedTrainer:
         host = {k: np.asarray(v) for k, v in bufs.items()}
         return pk.unpack(host)
 
+    def _put_block_q8(self, host_blocks, i):
+        """stream_quant h2d: quantize each host block ONCE per step (params
+        only change in pass B, so fwd and bwd share the q8 form) and send
+        int8 payload + f32 scales packed — 0.35 vs 0.7 GB/block at A14B."""
+        from ..ops.quant import quantize_block
+
+        if self._q8_cache_step != id(host_blocks[0]):
+            self._q8_cache_step = id(host_blocks[0])
+            self._q8_key_ref = host_blocks[0]  # pin: no id reuse after GC
+            self._q8_blocks = [None] * len(host_blocks)
+        if self._q8_blocks[i] is None:
+            hb = host_blocks[i]
+            if not all(isinstance(l, np.ndarray)
+                       for l in jax.tree_util.tree_leaves(hb)):
+                hb = _to_host(hb)
+            self._q8_blocks[i] = quantize_block(hb)
+        return self._put_packed(self._q8_blocks[i])
+
     # ------------------------------------------------------------------
     def train_step(self, state: StreamedTrainState, batch, rng):
         """One exact flow-matching step. Returns (state', metrics)."""
@@ -345,13 +419,18 @@ class StreamedTrainer:
         cos, sin = self._put((cos, sin))
 
         # ---- forward: stream blocks, save inputs (double-buffered h2d) ----
+        q8 = self.stream_quant is not None
+        fwd_key, grads_key = (("block_fwd_q", "block_grads_q") if q8
+                              else ("block_fwd", "block_grads"))
+        put_block = (self._put_block_q8 if q8 else
+                     lambda blocks, i: self._put_packed(blocks[i]))
         acts: List[Any] = []
-        slot = self._put_packed(state.host_blocks[0])
+        slot = put_block(state.host_blocks, 0)
         for i in range(n):
-            nxt = (self._put_packed(state.host_blocks[i + 1])
+            nxt = (put_block(state.host_blocks, i + 1)
                    if i + 1 < n else None)
             acts.append(_to_host(h) if self.act_offload else h)
-            h = J["block_fwd"](slot, h, e0, ctx, cos, sin)
+            h = J[fwd_key](slot, h, e0, ctx, cos, sin)
             slot = nxt
 
         # ---- head + loss, cotangents for the top of the stack ----
@@ -362,19 +441,22 @@ class StreamedTrainer:
         # ---- backward pass A: per-block grads + global sq-norm ----
         # fused mode (grad_clip disabled): the block's params are already on
         # device for the vjp, so the optimizer update applies HERE — no grad
-        # d2h/h2d roundtrip and no pass B (≈2x less h2d traffic per step)
-        fused = not self.tc.grad_clip
+        # d2h/h2d roundtrip and no pass B (≈2x less h2d traffic per step).
+        # stream_quant is never fused: the q8 compute stream is not the
+        # master copy, so the update runs host-side (pass B on the CPU
+        # backend) against the full-precision host blocks.
+        fused = not self.tc.grad_clip and not q8
         host_grads: List[Any] = [None] * n
         new_blocks: List[Any] = [None] * n
         new_opts: List[Any] = [None] * n
         one = jnp.float32(1.0)
         d_e0 = None
         d_ctx = None
-        slot = self._put_packed(state.host_blocks[n - 1])
+        slot = put_block(state.host_blocks, n - 1)
         for i in range(n - 1, -1, -1):
-            nxt = self._put_packed(state.host_blocks[i - 1]) if i > 0 else None
+            nxt = put_block(state.host_blocks, i - 1) if i > 0 else None
             x_i = self._put(acts[i]) if self.act_offload else acts[i]
-            dbp, d_h, de0_i, dctx_i = J["block_grads"](
+            dbp, d_h, de0_i, dctx_i = J[grads_key](
                 slot, x_i, e0, ctx, cos, sin, d_h)
             total_sq = total_sq + J["sq_norm"](dbp)
             d_e0 = de0_i if d_e0 is None else J["acc"](d_e0, de0_i)
@@ -385,6 +467,10 @@ class StreamedTrainer:
                                          state.host_block_opts[i]), one)
                 new_blocks[i] = self._fetch_packed(bp2)
                 new_opts[i] = self._fetch_packed(opt2)
+            elif q8:
+                # int8 + per-channel scales ride the d2h fetch (half the
+                # bytes of the bf16 cotangents)
+                host_grads[i] = self._fetch_packed(J["qgrad"](dbp))
             else:
                 host_grads[i] = self._fetch_packed(dbp)
             acts[i] = None
@@ -402,6 +488,26 @@ class StreamedTrainer:
         if fused:
             resident, resident_opt = J["upd"](state.resident, g_res,
                                               state.resident_opt, one)
+        elif q8:
+            # clip scale from the (unquantized, on-device) global norm
+            scale_dev = (jnp.float32(self.tc.grad_clip)
+                         / jnp.maximum(gnorm, jnp.float32(self.tc.grad_clip))
+                         if self.tc.grad_clip else one)
+            resident, resident_opt = J["upd"](state.resident, g_res,
+                                              state.resident_opt, scale_dev)
+            # pass B on the HOST CPU backend: dequantize the fetched q8
+            # grads and run the same optax update against the full-precision
+            # host blocks — updated params/opt state never cross the wire
+            from ..ops.quant import dequantize_block_np
+
+            scale_h = float(scale_dev)
+            for i in range(n):
+                g = dequantize_block_np(host_grads[i])
+                bp2, opt2 = J["upd_cpu"](state.host_blocks[i], g,
+                                         state.host_block_opts[i], scale_h)
+                new_blocks[i] = _to_host(bp2)
+                new_opts[i] = _to_host(opt2)
+                host_grads[i] = None
         else:
             # exactly optax.clip_by_global_norm's trim ratio:
             # clip/max(norm, clip)

@@ -288,3 +288,63 @@ def test_streamed_lora_int8_base_quant():
     assert qt._base_packed and (
         sum(v.nbytes for v in qt._base_packed[0].values())
         < 0.65 * quantized_bytes(sq.host_blocks[0]))
+
+
+def test_streamed_q8_plumbing_exact_when_nothing_quantizes():
+    """stream_quant='int8' with f32 params (no leaf is q8-eligible) must be
+    bit-identical to the exact streamed step: proves the q8 code path —
+    dequantizing block fns, device-side grad fetch, HOST-side optimizer
+    pass B — is the same math, with quantization as the only difference."""
+    tc = TrainConfig(learning_rate=1e-3, grad_clip=0.5, optimizer="adamw",
+                     cfg_dropout=0.0)
+    params = init_wan_dit(jax.random.PRNGKey(0), CFG.dit, dtype=jnp.float32)
+    batch, rng = _batch(), jax.random.PRNGKey(3)
+
+    ref = StreamedTrainer(CFG, tc, attn_impl="xla", act_offload=False)
+    s_ref, m_ref = ref.train_step(ref.init_state(params), batch, rng)
+    q8 = StreamedTrainer(CFG, tc, attn_impl="xla", act_offload=False,
+                         stream_quant="int8")
+    s_q8, m_q8 = q8.train_step(q8.init_state(params), batch, rng)
+
+    assert float(m_ref["loss"]) == float(m_q8["loss"])
+    _assert_tree_close(s_ref.host_blocks, s_q8.host_blocks, 1e-6, 1e-7)
+    _assert_tree_close(s_ref.resident, s_q8.resident, 1e-6, 1e-7)
+
+
+def test_streamed_q8_step_close_to_exact_bf16():
+    """With bf16 params (kernels q8-eligible) the transfer-diet step is no
+    longer bit-exact — grads are taken at the dequantized-q8 weights and
+    ride int8 — but it must stay a small perturbation of the exact step:
+    same loss to ~1%, updates within a tight relative bound."""
+    cfg = PipelineConfig(
+        name="tiny-stream-train-bf16",
+        dit=CFG.dit, vae=VAEConfig(), vlm_in_dim=16, max_context_len=48,
+        param_dtype="bfloat16",
+    )
+    tc = TrainConfig(learning_rate=1e-3, grad_clip=0.5, optimizer="adamw",
+                     cfg_dropout=0.0, warmup_steps=0)
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg.dit, dtype=jnp.bfloat16)
+    batch, rng = _batch(), jax.random.PRNGKey(3)
+
+    ref = StreamedTrainer(cfg, tc, attn_impl="xla", act_offload=False)
+    s_ref, m_ref = ref.train_step(ref.init_state(params), batch, rng)
+    q8 = StreamedTrainer(cfg, tc, attn_impl="xla", act_offload=False,
+                         stream_quant="int8")
+    s_q8, m_q8 = q8.train_step(q8.init_state(params), batch, rng)
+
+    assert abs(float(m_ref["loss"]) - float(m_q8["loss"])) <= (
+        0.02 * abs(float(m_ref["loss"])))
+    # updates point the same way: compare (new - old) flattened
+    ur = np.concatenate([np.ravel(np.asarray(l, np.float32))
+                         for l in jax.tree_util.tree_leaves(s_ref.host_blocks)])
+    uq = np.concatenate([np.ravel(np.asarray(l, np.float32))
+                         for l in jax.tree_util.tree_leaves(s_q8.host_blocks)])
+    p0 = np.concatenate([np.ravel(np.asarray(l, np.float32)) for l in
+                         jax.tree_util.tree_leaves(
+                             [jax.tree_util.tree_map(
+                                 lambda a: np.asarray(a)[i], params["blocks"])
+                              for i in range(cfg.dit.num_layers)])])
+    dr, dq = ur - p0, uq - p0
+    assert np.linalg.norm(dr) > 0  # the step moved params
+    cos = float(np.dot(dr, dq) / (np.linalg.norm(dr) * np.linalg.norm(dq)))
+    assert cos > 0.98, f"q8 update diverged from exact (cosine {cos:.4f})"

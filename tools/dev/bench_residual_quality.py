@@ -98,17 +98,19 @@ def main():
     vae_params = init_vae(jax.random.PRNGKey(3), cfg.vae)
 
     @jax.jit
-    def dec(z):
+    def dec(p, z):
+        # params as ARGUMENTS: a closure inlines them as constants into the
+        # program body (remote-compile HTTP 413 on the tunnel)
         if z.ndim == 4:
             z = z[None]
-        vid = vae_decode(vae_params, cfg.vae, z, dtype=jnp.float32)
+        vid = vae_decode(p, cfg.vae, z, dtype=jnp.float32)
         return video_to_uint8_frames(vid[0])
 
     lat_delta = float(jnp.max(jnp.abs(lat["f32"] - lat["bf16"])))
     lat_scale = float(jnp.max(jnp.abs(lat["f32"])))
     print(f"# latent max|f32-bf16| = {lat_delta:.3e} (scale {lat_scale:.3e})",
           file=sys.stderr, flush=True)
-    frames_u8 = {k: np.asarray(dec(v)) for k, v in lat.items()}
+    frames_u8 = {k: np.asarray(dec(vae_params, v)) for k, v in lat.items()}
     a, b = frames_u8["f32"].astype(np.float64), frames_u8["bf16"].astype(np.float64)
     q = evaluate_single(frames_u8["f32"])
     out = {

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="grad_clip=0 fused-update mode (no grad host "
                          "roundtrip, no pass B — ~2x less h2d traffic)")
+    ap.add_argument("--stream_quant", default=None, choices=[None, "int8"],
+                    help="run the full-finetune q8 transfer diet")
     ap.add_argument("--lora", type=int, default=0, metavar="RANK",
                     help="streamed LoRA mode: frozen base streams, rank-R "
                          "adapters train device-resident (no grad/param "
@@ -118,6 +120,27 @@ def main():
         proj = t_blk * nl * passes
         emit({"a14b_train_stream_h2d_block_s": round(t_blk, 2),
               "a14b_train_stream_step_projected_s": round(proj, 1)})
+
+        # q8 transfer diet (stream_quant="int8", VERDICT r4 item 6): fwd +
+        # bwd ride the q8 form h2d, grads come back int8 (~same bytes), and
+        # the host-side update adds NO crossing — 3 q8-sized crossings vs
+        # the full mode's 3 bf16-sized ones.
+        from omnivideo_tpu.ops.quant import quantize_block, quantized_bytes
+
+        q8b = quantize_block(block0)
+        q8_gb = quantized_bytes(q8b) / 1e9
+        pkq = BlockPacker(q8b)
+        bufsq = pkq.pack(q8b)
+        tq0 = time.time()
+        dev_bufs = {k: jax.device_put(v, dev) for k, v in bufsq.items()}
+        float(sum(jnp.sum(v[:8].astype(jnp.float32))
+                  for v in dev_bufs.values()))
+        t_q8 = time.time() - tq0
+        del dev_bufs, bufsq, q8b
+        proj_q8 = t_q8 * nl * 3
+        emit({"a14b_train_stream_q8_h2d_block_s": round(t_q8, 2),
+              "a14b_train_stream_q8_block_gb": round(q8_gb, 2),
+              "a14b_train_stream_q8_step_projected_s": round(proj_q8, 1)})
         if proj > budget:
             print(f"# BAIL: projected streamed step {proj:.0f}s > budget "
                   f"{budget:.0f}s (packed block transfer {t_blk:.1f}s x "
@@ -161,7 +184,8 @@ def main():
             step=0,
         )
     else:
-        trainer = StreamedTrainer(cfg, tc, attn_impl="auto", act_offload=True)
+        trainer = StreamedTrainer(cfg, tc, attn_impl="auto", act_offload=True,
+                                  stream_quant=args.stream_quant)
         opt0 = _to_host(trainer.inner.init(block0))
         state = StreamedTrainState(
             resident=jax.device_put(resident),

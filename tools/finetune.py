@@ -98,9 +98,11 @@ def parse_args():
                         "A14B on 16 GB; plain flow-match objective — "
                         "training/streaming.py)")
     p.add_argument("--stream_quant", default=None, choices=[None, "int8"],
-                   help="with --layer_stream --lora_rank: stream the FROZEN "
-                        "base weight-only int8 (QLoRA recipe, ops/quant.py) "
-                        "— halves the dominant h2d bytes per block")
+                   help="with --layer_stream: int8 transfer diet. LoRA "
+                        "mode streams the FROZEN base q8 (QLoRA recipe); "
+                        "full-finetune mode additionally rides grads d2h "
+                        "as int8 and updates on the host CPU — halves the "
+                        "dominant per-block wire bytes (ops/quant.py)")
     p.add_argument("--dummy_data", action="store_true")
     p.add_argument("--with_aligned", action="store_true",
                    help="dummy data includes v1 aligned_emb features")
@@ -269,9 +271,11 @@ def main():
         else:
             from omnivideo_tpu.training.streaming import StreamedTrainer
 
-            assert args.stream_quant is None, \
-                "--stream_quant needs --lora_rank (the base must be frozen)"
-            streamer = StreamedTrainer(cfg, tc, attn_impl=attn_impl)
+            # stream_quant here = the full-finetune transfer diet: q8
+            # fwd/bwd param streams, int8 grad fetch, host-side update
+            # (training/streaming.py stream_quant docstring)
+            streamer = StreamedTrainer(cfg, tc, attn_impl=attn_impl,
+                                       stream_quant=args.stream_quant)
         state = streamer.init_state(params["wan"])
         train_step = streamer.train_step
     else:
