@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--key_suffix", default="",
                     help="suffix for PHASE_JSON keys (A/B runs that must "
                          "not overwrite the tuned-default keys)")
+    ap.add_argument("--vision_only", action="store_true",
+                    help="skip the text-layer phases (vision re-measures)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: tiny dims, forces the cpu platform")
     args = ap.parse_args()
@@ -101,76 +103,82 @@ def main():
             },
         }
 
-    lp = init_layer(jax.random.PRNGKey(0))
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, L, D), jnp.bfloat16)
-    pos = jnp.arange(L)[None]
-    float(jnp.sum(x.astype(jnp.float32)))  # force init/inputs
-
-    reps = args.reps
-
-    @jax.jit
-    def prefill_reps(lp, x):
-        def body(c, _):
-            # mask_bias=None → pure causal: the flash path (attn_impl auto)
-            # — no [1, 32, L, L] f32 logits (2.1 GB at L=4096)
-            y, _kv = _layer(lp, c, pos, cfg, None)
-            return y, None
-        y, _ = jax.lax.scan(body, x, None, length=reps)
-        return jnp.sum(y.astype(jnp.float32))
-
-    t0 = time.perf_counter()
-    float(prefill_reps(lp, x))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(prefill_reps(lp, x))
-    t_layer = (time.perf_counter() - t0) / reps
-
-    # flops: qkvo projections + causal attention (USEFUL work = the lower
-    # triangle, L·L/2 — the flash kernel skips above-diagonal blocks; the
-    # old dense form computed the full matrix and wasted half) + router +
-    # top-8 MoE
-    attn_proj = 2 * L * D * (N * hd) * 2 + 2 * L * D * (K * hd) * 2
-    attn = 2 * 2 * N * (L * L // 2) * hd
-    moe = L * cfg.num_experts_per_tok * (2 * D * M * 2 + 2 * M * D)
-    router = 2 * L * D * E
-    fl = attn_proj + attn + moe + router
+    out = {}
     sfx = args.key_suffix
-    out = {
-        f"qwen30b_text_layer_prefill4k_ms{sfx}": round(t_layer * 1e3, 2),
-        f"qwen30b_text_layer_mxu{sfx}": round(fl / t_layer / peak, 3),
-        f"qwen30b_text_layer_compile_s{sfx}": round(compile_s, 1),
-        f"qwen30b_step_prefill4k_derived_s{sfx}": round(
-            t_layer * cfg.num_hidden_layers, 3),
-    }
-    emit(dict(out))
+    if args.vision_only:
+        lp = x = kc = vc = None
+    else:
+        lp = init_layer(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, L, D), jnp.bfloat16)
+    if not args.vision_only:
+        pos = jnp.arange(L)[None]
+        float(jnp.sum(x.astype(jnp.float32)))  # force init/inputs
 
-    # cached decode: one token against a 4096-token KV cache (the serving
-    # decode inner loop at real dims)
-    kc = jax.random.normal(jax.random.PRNGKey(2), (1, L + 1, K, hd),
-                           jnp.bfloat16)
-    vc = jax.random.normal(jax.random.PRNGKey(3), (1, L + 1, K, hd),
-                           jnp.bfloat16)
-    x1 = x[:, :1]
-    pos1 = jnp.full((1, 1), L, jnp.int32)
-    bias1 = jnp.zeros((1, 1, 1, L + 1), jnp.float32)
+        reps = args.reps
 
-    @jax.jit
-    def decode_reps(lp, x1, kc, vc):
-        def body(c, _):
-            y, _kv = _layer(lp, c, pos1, cfg, bias1, cache_kv=(kc, vc))
-            return y, None
-        y, _ = jax.lax.scan(body, x1, None, length=64)
-        return jnp.sum(y.astype(jnp.float32))
+        @jax.jit
+        def prefill_reps(lp, x):
+            def body(c, _):
+                # mask_bias=None → pure causal: the flash path (attn_impl auto)
+                # — no [1, 32, L, L] f32 logits (2.1 GB at L=4096)
+                y, _kv = _layer(lp, c, pos, cfg, None)
+                return y, None
+            y, _ = jax.lax.scan(body, x, None, length=reps)
+            return jnp.sum(y.astype(jnp.float32))
 
-    float(decode_reps(lp, x1, kc, vc))
-    t0 = time.perf_counter()
-    float(decode_reps(lp, x1, kc, vc))
-    t_dec = (time.perf_counter() - t0) / 64
-    out[f"qwen30b_text_layer_decode_us{sfx}"] = round(t_dec * 1e6, 1)
-    out[f"qwen30b_decode_tok_s_derived{sfx}"] = round(
-        1.0 / (t_dec * cfg.num_hidden_layers), 1)
-    emit(dict(out))
-    del lp, x, kc, vc
+        t0 = time.perf_counter()
+        float(prefill_reps(lp, x))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(prefill_reps(lp, x))
+        t_layer = (time.perf_counter() - t0) / reps
+
+        # flops: qkvo projections + causal attention (USEFUL work = the lower
+        # triangle, L·L/2 — the flash kernel skips above-diagonal blocks; the
+        # old dense form computed the full matrix and wasted half) + router +
+        # top-8 MoE
+        attn_proj = 2 * L * D * (N * hd) * 2 + 2 * L * D * (K * hd) * 2
+        attn = 2 * 2 * N * (L * L // 2) * hd
+        moe = L * cfg.num_experts_per_tok * (2 * D * M * 2 + 2 * M * D)
+        router = 2 * L * D * E
+        fl = attn_proj + attn + moe + router
+        sfx = args.key_suffix
+        out = {
+            f"qwen30b_text_layer_prefill4k_ms{sfx}": round(t_layer * 1e3, 2),
+            f"qwen30b_text_layer_mxu{sfx}": round(fl / t_layer / peak, 3),
+            f"qwen30b_text_layer_compile_s{sfx}": round(compile_s, 1),
+            f"qwen30b_step_prefill4k_derived_s{sfx}": round(
+                t_layer * cfg.num_hidden_layers, 3),
+        }
+        emit(dict(out))
+
+        # cached decode: one token against a 4096-token KV cache (the serving
+        # decode inner loop at real dims)
+        kc = jax.random.normal(jax.random.PRNGKey(2), (1, L + 1, K, hd),
+                               jnp.bfloat16)
+        vc = jax.random.normal(jax.random.PRNGKey(3), (1, L + 1, K, hd),
+                               jnp.bfloat16)
+        x1 = x[:, :1]
+        pos1 = jnp.full((1, 1), L, jnp.int32)
+        bias1 = jnp.zeros((1, 1, 1, L + 1), jnp.float32)
+
+        @jax.jit
+        def decode_reps(lp, x1, kc, vc):
+            def body(c, _):
+                y, _kv = _layer(lp, c, pos1, cfg, bias1, cache_kv=(kc, vc))
+                return y, None
+            y, _ = jax.lax.scan(body, x1, None, length=64)
+            return jnp.sum(y.astype(jnp.float32))
+
+        float(decode_reps(lp, x1, kc, vc))
+        t0 = time.perf_counter()
+        float(decode_reps(lp, x1, kc, vc))
+        t_dec = (time.perf_counter() - t0) / 64
+        out[f"qwen30b_text_layer_decode_us{sfx}"] = round(t_dec * 1e6, 1)
+        out[f"qwen30b_decode_tok_s_derived{sfx}"] = round(
+            1.0 / (t_dec * cfg.num_hidden_layers), 1)
+        emit(dict(out))
+        del lp, x, kc, vc
 
     # ---- vision block: 16-frame 640x640 video -> grid (8, 40, 40) ----
     # (segmented attention materializes [t, N, hw, hw] f32 logits; 64x64
