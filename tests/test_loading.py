@@ -311,7 +311,7 @@ def test_serve_handler_generates(tmp_path):
         task="t2v-1.3B", ckpt_dir=None, random_weights=True,
         output_dir=str(tmp_path), port=0, host="127.0.0.1", attn_impl="xla",
         max_steps_per_call=2, vae_dtype=None, tiny=True, platform=None,
-        once=None,
+        once=None, residual_dtype="bfloat16",
     )
     srv = serve_mod.Server(ns)
     out = srv.handle_generate({

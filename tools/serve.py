@@ -54,6 +54,10 @@ def parse_args():
     p.add_argument("--attn_impl", default="auto")
     p.add_argument("--max_steps_per_call", type=int, default=None)
     p.add_argument("--vae_dtype", default=None, choices=[None, "float32", "bfloat16"])
+    p.add_argument("--residual_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="DiT residual-stream storage dtype (bf16 default "
+                        "for serving; float32 = strict reference parity)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None)
     p.add_argument("--once", default=None,
@@ -79,12 +83,14 @@ def build_pipeline(args):
             max_context_len=64,
         )
     if args.random_weights:
-        pipe = OmniVideoX2XUnified.random_init(cfg, attn_impl=args.attn_impl)
+        pipe = OmniVideoX2XUnified.random_init(
+            cfg, attn_impl=args.attn_impl, residual_dtype=args.residual_dtype)
     else:
         assert args.ckpt_dir, "--ckpt_dir required without --random_weights"
         from omnivideo_tpu.pipelines.loading import load_pipeline
 
-        pipe = load_pipeline(cfg, args.ckpt_dir, attn_impl=args.attn_impl)
+        pipe = load_pipeline(cfg, args.ckpt_dir, attn_impl=args.attn_impl,
+                             residual_dtype=args.residual_dtype)
     return cfg, pipe
 
 
