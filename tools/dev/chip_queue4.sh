@@ -84,3 +84,7 @@ echo "queue4 complete"
 step 6 1500 r5_fulldecode.log python tools/dev/tpu_qwen_full_decode.py --prompt_len 16 --tokens 3
 merge
 echo "queue4b complete"
+# 7. vision component A/B (41 ms regression triage: where do 30+ ms hide?)
+step 7 900 r5_vision_ab.log python tools/dev/bench_vision_ab.py
+merge
+echo "queue4c complete"
