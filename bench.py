@@ -468,7 +468,8 @@ def bench_a14b_stream(budget_s: float = 700.0):
 
             def step():
                 y = wan_dit_stream_apply(resident, ex, cfg, x_t, t_t, ctx_t,
-                                         context_embedded=True)
+                                         context_embedded=True,
+                                         residual_dtype=jnp.bfloat16)
                 return float(jnp.sum(y))
 
             t0 = time.perf_counter()

@@ -88,3 +88,10 @@ echo "queue4b complete"
 step 7 900 r5_vision_ab.log python tools/dev/bench_vision_ab.py
 merge
 echo "queue4c complete"
+# 8-9. A14B full-depth steps with the bf16 residual default (r4 numbers
+# were f32-residual: 0.859/0.887 MXU — 720p may cross 0.9)
+step 8 1200 r5_a14b_stream.log env BENCH_STREAM_BUDGET_S=1000 python bench.py --phase a14b_stream
+merge
+step 9 800 r5_a14b_stream720.log python bench.py --phase a14b_stream720
+merge
+echo "queue4d complete"
