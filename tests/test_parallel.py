@@ -488,3 +488,47 @@ def test_pipeline_generate_tp():
     with mesh:
         out = pipe_tp.generate(**kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+
+def test_ulysses_comm_dtype_rides_bf16():
+    """comm_dtype=bf16 must put the all_to_alls themselves on bf16 wires
+    (half the ICI bytes), not just cast somewhere nearby — asserted on the
+    jaxpr — and stay within bf16 rounding of the f32-comm result."""
+    mesh = create_mesh(dp=1, fsdp=1, sp=8)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 8, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 8, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 8, 16))
+
+    import jax.numpy as jnp
+
+    with mesh:
+        ref = ulysses_attention(q, k, v, mesh, impl="xla")
+        out = ulysses_attention(q, k, v, mesh, impl="xla",
+                                comm_dtype=jnp.bfloat16)
+        jaxpr = jax.make_jaxpr(
+            lambda a, b, c: ulysses_attention(a, b, c, mesh, impl="xla",
+                                              comm_dtype=jnp.bfloat16)
+        )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    a2a_dtypes = []
+
+    def walk(jp):
+        if hasattr(jp, "jaxpr"):  # ClosedJaxpr
+            jp = jp.jaxpr
+        if not hasattr(jp, "eqns"):
+            return
+        for eq in jp.eqns:
+            if eq.primitive.name == "all_to_all":
+                a2a_dtypes.append(eq.invars[0].aval.dtype)
+            for sub in eq.params.values():
+                if hasattr(sub, "eqns") or hasattr(sub, "jaxpr"):
+                    walk(sub)
+                elif isinstance(sub, (list, tuple)):
+                    for s in sub:
+                        if hasattr(s, "eqns") or hasattr(s, "jaxpr"):
+                            walk(s)
+    walk(jaxpr.jaxpr)
+    assert a2a_dtypes, "no all_to_all found in the jaxpr"
+    assert all(dt == jnp.bfloat16 for dt in a2a_dtypes), a2a_dtypes
