@@ -95,3 +95,8 @@ merge
 step 9 800 r5_a14b_stream720.log python bench.py --phase a14b_stream720
 merge
 echo "queue4d complete"
+# 10. vision per-block re-measure with the dispatch floor amortized
+#     (depth-8 scanned tower in ONE dispatch)
+step 10 900 r5_vision2.log python tools/dev/tpu_qwen_layer_bench.py --vision_only
+merge
+echo "queue4e complete"

@@ -186,11 +186,16 @@ def main():
     # video-VQA scale and fits comfortably)
     if args.tiny:
         vcfg = Qwen3VLVisionConfig(
-            depth=1, deepstack_visual_indexes=(), hidden_size=64,
+            depth=4, deepstack_visual_indexes=(), hidden_size=64,
             intermediate_size=128, num_heads=4, out_hidden_size=64)
         t, h, w = 2, 4, 4
     else:
-        vcfg = Qwen3VLVisionConfig(depth=1, deepstack_visual_indexes=(),
+        # depth=8 (same block broadcast): ONE dispatch amortizes the tunnel's
+        # ~25-28 ms host-sync floor over 8 blocks — the r4 single-block
+        # measurement was floor-dominated (bench_vision_ab.py: GEMMs-only
+        # measured 27.6 ms vs ~2.4 ms of real work), which is what made the
+        # tower look like 7.6% MXU
+        vcfg = Qwen3VLVisionConfig(depth=8, deepstack_visual_indexes=(),
                                    attn_impl=args.attn_impl)
         t, h, w = 8, 40, 40
     Lv = t * h * w
@@ -202,15 +207,17 @@ def main():
         ks = jax.random.split(key, 12)
         r = lambda k, *s: (jax.random.normal(k, s, jnp.bfloat16)
                            * float(0.5 / np.sqrt(s[-2] if len(s) > 1 else 1)))
+        dep = vcfg.depth
+        bc = lambda a: jnp.broadcast_to(a[None], (dep,) + a.shape)
         blk = {
-            "norm1": {"weight": jnp.ones((1, Dv), jnp.bfloat16),
-                      "bias": jnp.zeros((1, Dv), jnp.bfloat16)},
-            "norm2": {"weight": jnp.ones((1, Dv), jnp.bfloat16),
-                      "bias": jnp.zeros((1, Dv), jnp.bfloat16)},
-            "qkv_w": r(ks[0], 1, Dv, 3 * Dv), "qkv_b": jnp.zeros((1, 3 * Dv), jnp.bfloat16),
-            "proj_w": r(ks[1], 1, Dv, Dv), "proj_b": jnp.zeros((1, Dv), jnp.bfloat16),
-            "mlp_fc1_w": r(ks[2], 1, Dv, Mv), "mlp_fc1_b": jnp.zeros((1, Mv), jnp.bfloat16),
-            "mlp_fc2_w": r(ks[3], 1, Mv, Dv), "mlp_fc2_b": jnp.zeros((1, Dv), jnp.bfloat16),
+            "norm1": {"weight": jnp.ones((dep, Dv), jnp.bfloat16),
+                      "bias": jnp.zeros((dep, Dv), jnp.bfloat16)},
+            "norm2": {"weight": jnp.ones((dep, Dv), jnp.bfloat16),
+                      "bias": jnp.zeros((dep, Dv), jnp.bfloat16)},
+            "qkv_w": bc(r(ks[0], Dv, 3 * Dv)), "qkv_b": jnp.zeros((dep, 3 * Dv), jnp.bfloat16),
+            "proj_w": bc(r(ks[1], Dv, Dv)), "proj_b": jnp.zeros((dep, Dv), jnp.bfloat16),
+            "mlp_fc1_w": bc(r(ks[2], Dv, Mv)), "mlp_fc1_b": jnp.zeros((dep, Mv), jnp.bfloat16),
+            "mlp_fc2_w": bc(r(ks[3], Mv, Dv)), "mlp_fc2_b": jnp.zeros((dep, Dv), jnp.bfloat16),
         }
         oh = vcfg.out_hidden_size
         mdim = Dv * vcfg.spatial_merge_size ** 2
@@ -241,7 +248,10 @@ def main():
     n = 4
     for _ in range(n):
         float(vis(vp, patches))
-    t_vis = (time.perf_counter() - t0) / n
+    # per-BLOCK time: the depth-stacked scan amortizes the ~25-28 ms
+    # per-dispatch tunnel floor; patch-embed/pos/merger are shared tower
+    # overhead outside the block scan and small next to depth x block
+    t_vis = (time.perf_counter() - t0) / n / vcfg.depth
     # per-block flops: qkv+proj+mlp GEMMs + segmented attention (t groups of
     # h*w tokens)
     vfl = (2 * Lv * Dv * 3 * Dv + 2 * Lv * Dv * Dv + 2 * Lv * Dv * Mv * 2
