@@ -49,6 +49,10 @@ def main():
                          "not overwrite the tuned-default keys)")
     ap.add_argument("--vision_only", action="store_true",
                     help="skip the text-layer phases (vision re-measures)")
+    ap.add_argument("--vis_depth", type=int, default=48,
+                    help="blocks in the scanned vision tower (48 = the real "
+                         "tower; amortizes the per-dispatch tunnel floor)")
+    ap.add_argument("--vis_reps", type=int, default=2)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: tiny dims, forces the cpu platform")
     args = ap.parse_args()
@@ -190,12 +194,13 @@ def main():
             intermediate_size=128, num_heads=4, out_hidden_size=64)
         t, h, w = 2, 4, 4
     else:
-        # depth=8 (same block broadcast): ONE dispatch amortizes the tunnel's
-        # ~25-28 ms host-sync floor over 8 blocks — the r4 single-block
-        # measurement was floor-dominated (bench_vision_ab.py: GEMMs-only
-        # measured 27.6 ms vs ~2.4 ms of real work), which is what made the
-        # tower look like 7.6% MXU
-        vcfg = Qwen3VLVisionConfig(depth=8, deepstack_visual_indexes=(),
+        # scanned depth (default 48 = the real tower, same block broadcast):
+        # ONE dispatch amortizes the tunnel's ~25-28 ms host-sync floor — the
+        # r4 single-block measurement was floor-dominated (bench_vision_ab.py:
+        # GEMMs-only measured 27.6 ms vs ~2.4 ms of real work), which is what
+        # made the tower look like 7.6% MXU
+        vcfg = Qwen3VLVisionConfig(depth=args.vis_depth,
+                                   deepstack_visual_indexes=(),
                                    attn_impl=args.attn_impl)
         t, h, w = 8, 40, 40
     Lv = t * h * w
@@ -234,18 +239,23 @@ def main():
             "blocks": blk, "merger": merger, "deepstack": [],
         }
 
+    print(f"[vis] init depth={vcfg.depth} grid=({t},{h},{w})", flush=True)
     vp = init_vision(jax.random.PRNGKey(4))
     patches = jax.random.normal(jax.random.PRNGKey(5), (Lv, Din), jnp.bfloat16)
     float(jnp.sum(patches.astype(jnp.float32)))
+    print("[vis] params + inputs resident", flush=True)
 
     @jax.jit
     def vis(vp, patches):
         tokens, _ = vision_forward(vp, vcfg, patches, (t, h, w))
         return jnp.sum(tokens.astype(jnp.float32))
 
+    tw = time.perf_counter()
     float(vis(vp, patches))
+    print(f"[vis] warmup (compile) done in {time.perf_counter() - tw:.1f}s",
+          flush=True)
     t0 = time.perf_counter()
-    n = 4
+    n = args.vis_reps
     for _ in range(n):
         float(vis(vp, patches))
     # per-BLOCK time: the depth-stacked scan amortizes the ~25-28 ms
