@@ -133,6 +133,16 @@ def _rotate_half(x):
     return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
 
 
+@functools.lru_cache(maxsize=8)
+def _rotate_half_perm(hd: int) -> np.ndarray:
+    """[hd, hd] signed permutation with x @ P == rotate_half(x)."""
+    P = np.zeros((hd, hd), np.float32)
+    j = np.arange(hd // 2)
+    P[j + hd // 2, j] = -1.0  # out[:hd/2] = -x[hd/2:]
+    P[j, j + hd // 2] = 1.0   # out[hd/2:] =  x[:hd/2]
+    return P
+
+
 def _merge_order_pos_embed(pe, t, h, w, merge):
     """Tile pos embeds over frames and permute to merge-block order
     (HF fast_pos_embed_interpolate tail)."""
@@ -163,12 +173,23 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
     )
     x = x + _merge_order_pos_embed(pe, t, h, w, m)
 
-    cos, sin = _rope_table(t, h, w, cfg.head_dim, m)
-    cos = jnp.asarray(cos)[:, None, :]  # [L, 1, hd]
-    sin = jnp.asarray(sin)[:, None, :]
-
     N, hd = cfg.num_heads, cfg.head_dim
     L = x.shape[0]
+
+    # Packed-form RoPE: identical math applied to the [L, N·hd] qkv slices —
+    # dense 128-lane tiles instead of per-head [L, N, 72] broadcasts (72 lanes
+    # pad to 128 on TPU, and the rotate_half concat is a slow cross-lane VPU
+    # shuffle). rotate_half becomes a 0/±1 block-diagonal signed-permutation
+    # matmul on the MXU: each output lane sums exactly one ±bf16 term, so it
+    # is bitwise the f32-cast-and-negate of the slice/concat form. Tables stay
+    # [L, hd] host constants (tiled on device — no multi-MB jit literals).
+    cos, sin = _rope_table(t, h, w, hd, m)
+    cos_p = jnp.tile(jnp.asarray(cos), (1, N))  # [L, N·hd] f32
+    sin_p = jnp.tile(jnp.asarray(sin), (1, N))
+    P_rot = jnp.asarray(
+        np.kron(np.eye(N, dtype=np.float32), _rotate_half_perm(hd)),
+        jnp.bfloat16,
+    )
 
     taps = tuple(cfg.deepstack_visual_indexes)
     # one boolean per layer: emit this layer's activations for deepstack
@@ -180,17 +201,17 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
         bp, tap = scanned
         hn = _ln(x, bp["norm1"])
         qkv = _lin(bp, "qkv_w", hn) + bp["qkv_b"]  # [L, 3·D]
-        q, k, v = jnp.split(qkv.reshape(L, 3, N, hd), 3, axis=1)
-        q, k, v = q[:, 0], k[:, 0], v[:, 0]
-        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-        q = (qf * cos + _rotate_half(qf) * sin).astype(x.dtype)
-        k = (kf * cos + _rotate_half(kf) * sin).astype(x.dtype)
+        q2, k2, v2 = qkv[:, : N * hd], qkv[:, N * hd : 2 * N * hd], qkv[:, 2 * N * hd :]
+        qz = jnp.dot(q2, P_rot, preferred_element_type=jnp.float32)
+        kz = jnp.dot(k2, P_rot, preferred_element_type=jnp.float32)
+        q = (q2.astype(jnp.float32) * cos_p + qz * sin_p).astype(x.dtype)
+        k = (k2.astype(jnp.float32) * cos_p + kz * sin_p).astype(x.dtype)
         # attention is segmented per temporal patch group (HF cu_seqlens =
         # repeat_interleave(h·w, t)): fold t into a batch axis
         hw = L // t
         qs = q.reshape(t, hw, N, hd)
         ks = k.reshape(t, hw, N, hd)
-        vs = v.reshape(t, hw, N, hd)
+        vs = v2.reshape(t, hw, N, hd)
         if use_flash:
             from ...ops.pallas.flash_attention import flash_attention_infer
 

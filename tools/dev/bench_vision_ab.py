@@ -1,17 +1,19 @@
 #!/usr/bin/env python
 """Component-level A/B of the Qwen3-VL vision block on chip.
 
-Round-5 finding: the pad-to-128 flash path measured WORSE than the r4
-baseline (41.06 vs 32.45 ms) — so the block's time is NOT where the r4
-analysis assumed. This tool times each candidate sink separately at the
-real 640p video shape (grid (8, 40, 40), D=1152, 16 heads x 72):
+Round-5 finding: EVERY single-dispatch measurement on this tunnel carries a
+~25-28 ms host-sync floor (the r4 "41 ms vision block" was that floor — the
+depth-48 scanned tower measures 11.6 ms/block). This tool therefore scans
+each candidate sink `reps` times INSIDE one jit (output feeds input, so the
+scan cannot be constant-folded) and reports per-iteration time, at the real
+640p video shape (grid (8, 40, 40), D=1152, 16 heads x 72):
 
-  - full block, attn_impl in {flash (pad-128), dense}
-  - attention-only (padded flash vs dense softmax vs unpadded flash)
-  - the three GEMMs only (qkv/proj/mlp, no attention)
+  - the three GEMM chains only (qkv/proj/mlp, no attention)
   - rope + reshapes only
+  - attention-only (padded-128 flash vs dense softmax vs unpadded flash)
+  - full block (flash vs dense) via the depth-`reps` scanned tower
 
-    python tools/dev/bench_vision_ab.py [--reps 8]
+    python tools/dev/bench_vision_ab.py [--reps 16]
 
 Emits PHASE_JSON (merge with tools/dev/merge_phase_cache.py).
 """
@@ -35,7 +37,8 @@ def emit(d):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=16,
+                    help="scan length per timed dispatch (floor amortizer)")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
     if args.tiny:
@@ -73,90 +76,151 @@ def main():
     sin = jnp.asarray(sin)[:, None, :]
     float(jnp.sum(x.astype(jnp.float32)))
 
-    def timed(fn, *a):
-        float(fn(*a))
+    def timed_scan(step, carry_init, consts, n_dispatch=2):
+        """Time `step` scanned `reps` times in ONE dispatch (carry feeds the
+        next iteration → no folding); return seconds per iteration."""
+
+        @jax.jit
+        def run(carry, consts):
+            def body(c, _):
+                return step(c, consts), None
+            c, _ = jax.lax.scan(body, carry, None, length=reps)
+            return jax.tree.reduce(
+                lambda a, b: a + b,
+                jax.tree.map(lambda v: jnp.sum(v.astype(jnp.float32)), c))
+
+        float(run(carry_init, consts))  # compile
         t0 = time.perf_counter()
-        for _ in range(reps):
-            float(fn(*a))
-        return (time.perf_counter() - t0) / reps
+        for _ in range(n_dispatch):
+            float(run(carry_init, consts))
+        return (time.perf_counter() - t0) / n_dispatch / reps
 
     out = {}
 
-    # --- GEMMs only ---
-    @jax.jit
-    def gemms(wq, x):
-        qkv = x @ wq["qkv_w"]
+    # --- GEMMs only (y feeds back as x) ---
+    def gemms_step(xc, wq):
+        qkv = xc @ wq["qkv_w"]
         o = qkv[:, :Dv] @ wq["proj_w"]
-        y = jax.nn.gelu(o @ wq["fc1_w"]) @ wq["fc2_w"]
-        return jnp.sum(y.astype(jnp.float32))
+        return jax.nn.gelu(o @ wq["fc1_w"]) @ wq["fc2_w"]
 
-    out["vis_gemms_ms"] = round(timed(gemms, wq, x) * 1e3, 2)
+    out["vis_gemms_ms"] = round(timed_scan(gemms_step, x, wq) * 1e3, 2)
 
-    # --- rope + reshapes only ---
-    @jax.jit
-    def rope_only(wq, x):
-        qkv = (x @ wq["qkv_w"]).reshape(L, 3, Nv, hd)
+    # --- rope + qkv reshapes only ---
+    def rope_step(xc, wq):
+        qkv = (xc @ wq["qkv_w"]).reshape(L, 3, Nv, hd)
         q, k = qkv[:, 0], qkv[:, 1]
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-        q = (qf * cos + _rotate_half(qf) * sin).astype(x.dtype)
-        k = (kf * cos + _rotate_half(kf) * sin).astype(x.dtype)
-        return jnp.sum(q.astype(jnp.float32)) + jnp.sum(k.astype(jnp.float32))
+        q = (qf * cos + _rotate_half(qf) * sin).astype(xc.dtype)
+        k = (kf * cos + _rotate_half(kf) * sin).astype(xc.dtype)
+        return (q + k).reshape(L, Nv * hd)[:, :Dv]
 
-    out["vis_rope_qkv_ms"] = round(timed(rope_only, wq, x) * 1e3, 2)
+    out["vis_rope_qkv_ms"] = round(timed_scan(rope_step, x, wq) * 1e3, 2)
 
-    # --- attention-only variants ---
+    # --- packed-form rope (what vision_forward now runs): [L, N·hd] dense
+    # lanes + block-diag signed-perm matmul instead of per-head broadcasts ---
+    from omnivideo_tpu.models.qwen3vl.vision_model import _rotate_half_perm
+
+    cos_p = jnp.tile(jnp.asarray(cos[:, 0, :]), (1, Nv))
+    sin_p = jnp.tile(jnp.asarray(sin[:, 0, :]), (1, Nv))
+    P_rot = jnp.asarray(
+        np.kron(np.eye(Nv, dtype=np.float32), _rotate_half_perm(hd)),
+        jnp.bfloat16)
+
+    def rope_packed_step(xc, wq):
+        qkv = xc @ wq["qkv_w"]
+        q2, k2 = qkv[:, : Nv * hd], qkv[:, Nv * hd : 2 * Nv * hd]
+        qz = jnp.dot(q2, P_rot, preferred_element_type=jnp.float32)
+        kz = jnp.dot(k2, P_rot, preferred_element_type=jnp.float32)
+        q = (q2.astype(jnp.float32) * cos_p + qz * sin_p).astype(xc.dtype)
+        k = (k2.astype(jnp.float32) * cos_p + kz * sin_p).astype(xc.dtype)
+        return (q + k)[:, :Dv]
+
+    out["vis_rope_packed_ms"] = round(
+        timed_scan(rope_packed_step, x, wq) * 1e3, 2)
+    emit(dict(out))
+
+    # --- attention-only variants (o feeds back as q) ---
     qs = jax.random.normal(ks[5], (t, hw, Nv, hd), jnp.bfloat16)
     ks_ = jax.random.normal(ks[6], (t, hw, Nv, hd), jnp.bfloat16)
     vs = jax.random.normal(ks[7], (t, hw, Nv, hd), jnp.bfloat16)
+    float(jnp.sum(vs.astype(jnp.float32)))
 
     pd = (-hd) % 128
 
-    @jax.jit
-    def attn_pad128(qs, ks_, vs):
+    def attn_pad128(qc, kv, bq=1024, bounded=False):
+        k_, v_ = kv
         zp = ((0, 0), (0, 0), (0, 0), (0, pd))
-        o = flash_attention_infer(jnp.pad(qs, zp), jnp.pad(ks_, zp),
-                                  jnp.pad(vs, zp), softmax_scale=hd ** -0.5,
-                                  interpret=interp)[..., :hd]
-        return jnp.sum(o.astype(jnp.float32))
+        return flash_attention_infer(
+            jnp.pad(qc, zp), jnp.pad(k_, zp), jnp.pad(v_, zp),
+            softmax_scale=hd ** -0.5, interpret=interp, block_q=bq,
+            assume_normalized=bounded,
+        )[..., :hd].astype(qc.dtype)
 
-    @jax.jit
-    def attn_unpadded(qs, ks_, vs):
-        o = flash_attention_infer(qs, ks_, vs, interpret=interp)
-        return jnp.sum(o.astype(jnp.float32))
+    def attn_unpadded(qc, kv, bq=1024, bounded=False):
+        k_, v_ = kv
+        return flash_attention_infer(
+            qc, k_, v_, interpret=interp, block_q=bq,
+            assume_normalized=bounded).astype(qc.dtype)
 
-    @jax.jit
-    def attn_dense(qs, ks_, vs):
-        logits = jnp.einsum("bind,bjnd->bnij", qs, ks_,
+    def attn_dense(qc, kv):
+        k_, v_ = kv
+        logits = jnp.einsum("bind,bjnd->bnij", qc, k_,
                             preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * (hd ** -0.5), -1).astype(vs.dtype)
-        o = jnp.einsum("bnij,bjnd->bind", probs, vs,
-                       preferred_element_type=jnp.float32)
-        return jnp.sum(o)
+        probs = jax.nn.softmax(logits * (hd ** -0.5), -1).astype(v_.dtype)
+        return jnp.einsum("bnij,bjnd->bind", probs, v_,
+                          preferred_element_type=jnp.float32).astype(qc.dtype)
 
-    out["vis_attn_pad128_ms"] = round(timed(attn_pad128, qs, ks_, vs) * 1e3, 2)
-    out["vis_attn_unpadded_ms"] = round(timed(attn_unpadded, qs, ks_, vs) * 1e3, 2)
-    out["vis_attn_dense_ms"] = round(timed(attn_dense, qs, ks_, vs) * 1e3, 2)
-    emit(dict(out))
+    # variant sweep: impl x block_q x {max-tracked, bounded-softmax}. The
+    # bounded kernel needs no qk-norm: it computes Cauchy-Schwarz row-norm
+    # bounds itself and lax.cond-falls back to max-tracked when unsafe.
+    variants = {
+        "vis_attn_pad128_ms": lambda q, kv: attn_pad128(q, kv),
+        "vis_attn_unpadded_ms": lambda q, kv: attn_unpadded(q, kv),
+        "vis_attn_dense_ms": attn_dense,
+        "vis_attn_pad128_bnd_ms": lambda q, kv: attn_pad128(q, kv, bounded=True),
+        "vis_attn_unpadded_bnd_ms": lambda q, kv: attn_unpadded(q, kv, bounded=True),
+        "vis_attn_pad128_b512_ms": lambda q, kv: attn_pad128(q, kv, bq=512),
+        "vis_attn_pad128_b1664_ms": lambda q, kv: attn_pad128(q, kv, bq=1664),
+        "vis_attn_unpadded_b512_ms": lambda q, kv: attn_unpadded(q, kv, bq=512),
+        "vis_attn_unpadded_b1664_ms": lambda q, kv: attn_unpadded(q, kv, bq=1664),
+        "vis_attn_pad128_b512_bnd_ms": lambda q, kv: attn_pad128(
+            q, kv, bq=512, bounded=True),
+        "vis_attn_unpadded_b1664_bnd_ms": lambda q, kv: attn_unpadded(
+            q, kv, bq=1664, bounded=True),
+    }
+    if args.tiny:  # CPU interpret: just exercise one of each dispatch
+        variants = {k: variants[k] for k in
+                    ("vis_attn_pad128_ms", "vis_attn_unpadded_ms",
+                     "vis_attn_dense_ms", "vis_attn_unpadded_bnd_ms")}
+    for name, fn in variants.items():
+        try:
+            out[name] = round(timed_scan(fn, qs, (ks_, vs)) * 1e3, 2)
+        except Exception as e:  # noqa: BLE001 — a VMEM-overflow variant just logs
+            print(f"[ab] {name} failed: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+        emit(dict(out))
 
-    # --- full block via vision_forward (flash vs dense) ---
+    # --- full block via the depth-`reps` scanned tower (flash vs dense) ---
     from omnivideo_tpu.models.qwen3vl.vision_model import vision_forward
 
     Din = cfg.in_channels * cfg.temporal_patch_size * cfg.patch_size ** 2
     oh = cfg.out_hidden_size
     mdim = Dv * cfg.spatial_merge_size ** 2
+    dep = reps
+    bc = lambda a: jnp.broadcast_to(a[None], (dep,) + a.shape)
     blk = {
-        "norm1": {"weight": jnp.ones((1, Dv), jnp.bfloat16),
-                  "bias": jnp.zeros((1, Dv), jnp.bfloat16)},
-        "norm2": {"weight": jnp.ones((1, Dv), jnp.bfloat16),
-                  "bias": jnp.zeros((1, Dv), jnp.bfloat16)},
-        "qkv_w": r(ks[0], 1, Dv, 3 * Dv),
-        "qkv_b": jnp.zeros((1, 3 * Dv), jnp.bfloat16),
-        "proj_w": r(ks[1], 1, Dv, Dv),
-        "proj_b": jnp.zeros((1, Dv), jnp.bfloat16),
-        "mlp_fc1_w": r(ks[2], 1, Dv, Mv),
-        "mlp_fc1_b": jnp.zeros((1, Mv), jnp.bfloat16),
-        "mlp_fc2_w": r(ks[3], 1, Mv, Dv),
-        "mlp_fc2_b": jnp.zeros((1, Dv), jnp.bfloat16),
+        "norm1": {"weight": jnp.ones((dep, Dv), jnp.bfloat16),
+                  "bias": jnp.zeros((dep, Dv), jnp.bfloat16)},
+        "norm2": {"weight": jnp.ones((dep, Dv), jnp.bfloat16),
+                  "bias": jnp.zeros((dep, Dv), jnp.bfloat16)},
+        "qkv_w": bc(r(ks[0], Dv, 3 * Dv)),
+        "qkv_b": jnp.zeros((dep, 3 * Dv), jnp.bfloat16),
+        "proj_w": bc(r(ks[1], Dv, Dv)),
+        "proj_b": jnp.zeros((dep, Dv), jnp.bfloat16),
+        "mlp_fc1_w": bc(r(ks[2], Dv, Mv)),
+        "mlp_fc1_b": jnp.zeros((dep, Mv), jnp.bfloat16),
+        "mlp_fc2_w": bc(r(ks[3], Mv, Dv)),
+        "mlp_fc2_b": jnp.zeros((dep, Dv), jnp.bfloat16),
     }
     vp = {
         "patch_embed": {"kernel": r(ks[4], Din, Dv),
@@ -173,18 +237,23 @@ def main():
         "deepstack": [],
     }
     patches = jax.random.normal(jax.random.PRNGKey(9), (L, Din), jnp.bfloat16)
+    float(jnp.sum(patches.astype(jnp.float32)))
 
     for impl in ("flash" if not interp else "flash_interpret", "dense"):
-        c2 = dataclasses.replace(cfg, attn_impl=impl)
+        c2 = dataclasses.replace(cfg, attn_impl=impl, depth=dep)
 
         @jax.jit
         def vis(vp, patches):
             tok, _ = vision_forward(vp, c2, patches, (t, h, w))
             return jnp.sum(tok.astype(jnp.float32))
 
+        float(vis(vp, patches))  # compile
+        t0 = time.perf_counter()
+        n = 2
+        for _ in range(n):
+            float(vis(vp, patches))
         out[f"vis_block_{impl.split('_')[0]}_ms"] = round(
-            timed(vis, vp, patches) * 1e3, 2)
-    # merger + patch_embed + pos interp alone: block minus (gemms+attn+rope)
+            (time.perf_counter() - t0) / n / dep * 1e3, 2)
     emit(dict(out))
     print(json.dumps(out, indent=1))
 
