@@ -81,6 +81,11 @@ class VLMConfig:
     temperature: float = 0.0  # greedy by default (inference_omni_v2v_1_3B.sh:73-75)
     fsdp: int = 1  # >1: shard the JAX params over an fsdp mesh axis — the
     # 30B-A3B checkpoint exceeds a single chip's HBM (deployment path)
+    # vision-tower rope mix precision (inference default bf16, like the DiT's
+    # residual_dtype: measured block 9.05→8.63 ms, output rel Δ 2.2e-3 —
+    # bf16-level, the tower's activations are already bf16 end to end;
+    # "float32" = parity mode matching HF's f32 rope)
+    vision_rope_dtype: str = "bfloat16"
 
 
 class Qwen3VLEngine:
@@ -164,7 +169,7 @@ class Qwen3VLEngine:
         return Qwen3VLEngine.jax_cfg_from_dict(d)
 
     @staticmethod
-    def jax_cfg_from_dict(d: dict):
+    def jax_cfg_from_dict(d: dict, vision_rope_dtype: str = "float32"):
         """Build this repo's Qwen3VLConfig from a checkpoint's config.json
         dict — no transformers config classes needed."""
         from .full_model import Qwen3VLConfig
@@ -202,6 +207,7 @@ class Qwen3VLEngine:
                 out_hidden_size=vc["out_hidden_size"],
                 num_position_embeddings=vc["num_position_embeddings"],
                 deepstack_visual_indexes=tuple(vc["deepstack_visual_indexes"]),
+                rope_dtype=vision_rope_dtype,
             ),
             mrope_section=tuple(rope_scaling.get("mrope_section", (24, 20, 20))),
             video_token_id=d.get("video_token_id", 151656),
@@ -220,7 +226,8 @@ class Qwen3VLEngine:
 
         cfg = self.cfg
         cfg_dict = load_hf_config(cfg.model_path)
-        self.jax_cfg = self.jax_cfg_from_dict(cfg_dict)
+        self.jax_cfg = self.jax_cfg_from_dict(
+            cfg_dict, vision_rope_dtype=cfg.vision_rope_dtype)
         self.tokenizer = load_fast_tokenizer(cfg.model_path)
         sd = load_hf_safetensors(cfg.model_path)
         self.jax_params = qwen3vl_hf_to_params(sd, self.jax_cfg)

@@ -47,6 +47,13 @@ class Qwen3VLVisionConfig:
     # segmented attention: "auto" (flash kernel on TPU — never materializes
     # the [t, N, hw, hw] f32 logits), "flash", "flash_interpret", "dense"
     attn_impl: str = "auto"
+    # rope mix precision: "float32" (parity mode — HF computes rope in f32,
+    # reference vllm_model.py:381-386 runs the HF tower) or "bfloat16"
+    # (tables + multiply-add in bf16: halves the [L, N·hd] cos/sin HBM
+    # traffic; rel. output delta measured ~2e-3 — see bench_vision_opt.py)
+    rope_dtype: str = "float32"
+    # flash block_q override for the segmented attention (0 = kernel default)
+    attn_block_q: int = 0
 
     @property
     def head_dim(self):
@@ -184,8 +191,9 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
     # is bitwise the f32-cast-and-negate of the slice/concat form. Tables stay
     # [L, hd] host constants (tiled on device — no multi-MB jit literals).
     cos, sin = _rope_table(t, h, w, hd, m)
-    cos_p = jnp.tile(jnp.asarray(cos), (1, N))  # [L, N·hd] f32
-    sin_p = jnp.tile(jnp.asarray(sin), (1, N))
+    rdt = jnp.dtype(cfg.rope_dtype)
+    cos_p = jnp.tile(jnp.asarray(cos, rdt), (1, N))  # [L, N·hd]
+    sin_p = jnp.tile(jnp.asarray(sin, rdt), (1, N))
     P_rot = jnp.asarray(
         np.kron(np.eye(N, dtype=np.float32), _rotate_half_perm(hd)),
         jnp.bfloat16,
@@ -202,10 +210,10 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
         hn = _ln(x, bp["norm1"])
         qkv = _lin(bp, "qkv_w", hn) + bp["qkv_b"]  # [L, 3·D]
         q2, k2, v2 = qkv[:, : N * hd], qkv[:, N * hd : 2 * N * hd], qkv[:, 2 * N * hd :]
-        qz = jnp.dot(q2, P_rot, preferred_element_type=jnp.float32)
-        kz = jnp.dot(k2, P_rot, preferred_element_type=jnp.float32)
-        q = (q2.astype(jnp.float32) * cos_p + qz * sin_p).astype(x.dtype)
-        k = (k2.astype(jnp.float32) * cos_p + kz * sin_p).astype(x.dtype)
+        qz = jnp.dot(q2, P_rot, preferred_element_type=rdt)
+        kz = jnp.dot(k2, P_rot, preferred_element_type=rdt)
+        q = (q2.astype(rdt) * cos_p + qz * sin_p).astype(x.dtype)
+        k = (k2.astype(rdt) * cos_p + kz * sin_p).astype(x.dtype)
         # attention is segmented per temporal patch group (HF cu_seqlens =
         # repeat_interleave(h·w, t)): fold t into a batch axis
         hw = L // t
@@ -215,22 +223,18 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
         if use_flash:
             from ...ops.pallas.flash_attention import flash_attention_infer
 
-            pd = (-hd) % 128
-            if pd:
-                # head_dim 72 lands on the kernel's unpacked small-D path
-                # (per-(t,head) grid cells of [bq, 72] tiles — measured
-                # 7.6% MXU at the 640p video shape). Zero-padding heads to
-                # 128 reroutes onto the packed [B, L, N·128] fast path:
-                # zero q/k columns add nothing to q·k, zero v columns are
-                # sliced back off, and the softmax scale stays the TRUE
-                # hd^-0.5 — numerics exact, 1.78x padded FLOPs at ~10x the
-                # utilization.
-                zp = ((0, 0), (0, 0), (0, 0), (0, pd))
-                o = flash_attention_infer(
-                    jnp.pad(qs, zp), jnp.pad(ks, zp), jnp.pad(vs, zp),
-                    softmax_scale=hd ** -0.5, interpret=interp)[..., :hd]
-            else:
-                o = flash_attention_infer(qs, ks, vs, interpret=interp)
+            # Measured in-run A/B at the 640p video shape (8×40×40 grid,
+            # depth-48 scan, tools/dev/bench_vision_ab.py): unpadded small-D
+            # flash + bounded softmax + block_q 1664 = 2.31 ms/block vs the
+            # r4 pad-to-128 path's 3.52 ms (r4's "7.6% MXU small-D" reading
+            # was the ~27 ms per-dispatch tunnel floor, not the kernel).
+            # bounded softmax is guarded: the kernel lax.cond-falls back to
+            # max-tracked when the Cauchy-Schwarz logit bound nears the f32
+            # exp2 underflow range, so un-qk-normed ViT activations stay
+            # exact for any checkpoint.
+            bq = cfg.attn_block_q or 1664
+            o = flash_attention_infer(qs, ks, vs, interpret=interp,
+                                      block_q=bq, assume_normalized=True)
             o = o.astype(x.dtype)
         else:
             logits = jnp.einsum("bind,bjnd->bnij", qs, ks, preferred_element_type=jnp.float32)
