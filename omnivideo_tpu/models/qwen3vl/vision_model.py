@@ -221,18 +221,22 @@ def vision_forward(params, cfg: Qwen3VLVisionConfig, patches: jnp.ndarray, grid_
         ks = k.reshape(t, hw, N, hd)
         vs = v2.reshape(t, hw, N, hd)
         if use_flash:
-            from ...ops.pallas.flash_attention import flash_attention_infer
+            from ...ops.pallas.flash_attention import (
+                DEFAULT_BLOCK_Q, flash_attention_infer)
 
             # Measured in-run A/B at the 640p video shape (8×40×40 grid,
             # depth-48 scan, tools/dev/bench_vision_ab.py): unpadded small-D
-            # flash + bounded softmax + block_q 1664 = 2.31 ms/block vs the
-            # r4 pad-to-128 path's 3.52 ms (r4's "7.6% MXU small-D" reading
-            # was the ~27 ms per-dispatch tunnel floor, not the kernel).
+            # flash + bounded softmax beats the r4 pad-to-128 path
+            # (2.5-2.9 vs 3.5 ms attention-only; r4's "7.6% MXU small-D"
+            # reading was the ~27 ms per-dispatch tunnel floor, not the
+            # kernel). block_q stays the kernel default: 1664 (one q step
+            # per 1600-token segment) wins attention-only but overflows the
+            # compile inside the full block's fusion context.
             # bounded softmax is guarded: the kernel lax.cond-falls back to
             # max-tracked when the Cauchy-Schwarz logit bound nears the f32
             # exp2 underflow range, so un-qk-normed ViT activations stay
             # exact for any checkpoint.
-            bq = cfg.attn_block_q or 1664
+            bq = cfg.attn_block_q or DEFAULT_BLOCK_Q
             o = flash_attention_infer(qs, ks, vs, interpret=interp,
                                       block_q=bq, assume_normalized=True)
             o = o.astype(x.dtype)

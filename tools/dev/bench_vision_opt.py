@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--depth", type=int, default=48)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma-separated variant tags to run (default all)")
     args = ap.parse_args()
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -137,6 +139,9 @@ def main():
         ("rope_bf16_bq1600", dataclasses.replace(
             base, rope_dtype="bfloat16", attn_block_q=1600)),
     ]
+    if args.only:
+        sel = set(args.only.split(","))
+        variants = [(t, c) for t, c in variants if t in sel]
     for tag, cfg in variants:
         try:
             measure(tag, cfg)

@@ -199,9 +199,12 @@ def main():
         # r4 single-block measurement was floor-dominated (bench_vision_ab.py:
         # GEMMs-only measured 27.6 ms vs ~2.4 ms of real work), which is what
         # made the tower look like 7.6% MXU
+        # rope_dtype bfloat16 = the serving default (VLMConfig.
+        # vision_rope_dtype); f32 stays the HF-parity mode
         vcfg = Qwen3VLVisionConfig(depth=args.vis_depth,
                                    deepstack_visual_indexes=(),
-                                   attn_impl=args.attn_impl)
+                                   attn_impl=args.attn_impl,
+                                   rope_dtype="bfloat16")
         t, h, w = 8, 40, 40
     Lv = t * h * w
     Din = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
